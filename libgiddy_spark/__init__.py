@@ -1,0 +1,16 @@
+"""libgiddy_spark — a from-scratch PySpark-native per-column lightweight
+compression engine with the scheme family of eyalroz/libgiddy
+(dictionary, RLE, frame-of-reference + bit-packing, delta, patching) plus
+an FSST-style string symbol table, a per-partition codec auto-selector,
+a checkpointed/resumable encode manifest, and skew-aware repartitioning.
+
+Design (SURVEY.md): the codecs are vectorized numpy/pyarrow kernels that
+run inside Arrow-batched Spark UDFs (``mapInArrow`` / ``applyInPandas``)
+— mirroring how libgiddy sits as a GPU kernel library inside a host DBMS
+(reference semantics: libgiddy src/kernels/decompression/*, recalled from
+public knowledge; the sandbox reference snapshot is empty, see SURVEY.md §0).
+Catalyst handles scans, pruning, the one encode shuffle, and sinks; no
+per-row Python anywhere.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,136 @@
+"""Per-scheme kernel round-trip unit tests on adversarial fixtures
+(FIXTURES.md §3, SURVEY.md §5.2.1) — decode(encode(x)) bit-identical."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import roundtrip
+
+INT_CODECS = ["raw", "for", "delta", "dict", "rle", "auto"]
+STR_CODECS = ["raw", "dict", "rle", "fsst"]
+
+I64 = np.iinfo(np.int64)
+
+
+def int_cases(rng):
+    return {
+        "empty": np.array([], dtype=np.int64),
+        "single": np.array([42], dtype=np.int64),
+        "single_neg": np.array([-42], dtype=np.int64),
+        "constant": np.full(1000, -7, dtype=np.int64),
+        "sorted": np.arange(10_000, dtype=np.int64),
+        "reverse": np.arange(10_000, dtype=np.int64)[::-1].copy(),
+        "random": rng.integers(-(2**62), 2**62, 5000),
+        "extremes": np.array([I64.min, I64.max] * 500, dtype=np.int64),
+        "width_bounds": np.array(
+            [v + d for k in (1, 7, 8, 31, 32, 63) for v in ((1 << k),) for d in (-1, 0, 1) if 0 <= v + d <= I64.max],
+            dtype=np.int64,
+        ),
+        "runs_len1": rng.permutation(np.arange(5000)).astype(np.int64),
+        "one_run": np.full(5000, 123456789, dtype=np.int64),
+        "outliers": np.where(rng.random(10_000) < 0.01, 2**60, rng.integers(0, 100, 10_000)).astype(np.int64),
+        "int16": rng.integers(-300, 300, 2000).astype(np.int16),
+        "int32": rng.integers(-(2**30), 2**30, 2000).astype(np.int32),
+        "uint64_high": (rng.integers(0, 2**62, 1000, dtype=np.uint64) * np.uint64(3)),
+    }
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int_roundtrips(codec, rng):
+    for name, x in int_cases(rng).items():
+        roundtrip(pa.array(x), codec)
+
+
+def test_bitpack_nonneg(rng):
+    roundtrip(pa.array(rng.integers(0, 2**40, 3000)), "bitpack")
+    roundtrip(pa.array(np.zeros(100, np.int64)), "bitpack")
+    with pytest.raises(ValueError):
+        roundtrip(pa.array([-1, 2, 3]), "bitpack")
+
+
+@pytest.mark.parametrize("codec", ["raw", "for", "delta", "dict", "rle"])
+def test_int_nulls(codec):
+    for arr in [
+        pa.array([1, None, 3, None, -5] * 100),
+        pa.array([None] * 50, type=pa.int64()),
+        pa.array([None, 7], type=pa.int64()),
+        pa.array([7, None], type=pa.int64()),
+    ]:
+        roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", ["delta", "for", "rle", "dict", "raw"])
+def test_timestamps(codec, rng):
+    base = 1_704_067_200_000_000  # 2024-01-01 in us
+    gaps = rng.integers(0, 1_000_000, 5000)
+    ts = (base + np.cumsum(gaps)).astype("datetime64[us]")
+    roundtrip(pa.array(ts), codec)
+    # far past / future extremes
+    ext = np.array([0, -(2**55), 2**55], dtype=np.int64).astype("datetime64[us]")
+    roundtrip(pa.array(ext), codec)
+
+
+@pytest.mark.parametrize("codec", ["raw", "for", "rle", "dict"])
+def test_floats_bit_identity(codec):
+    f = np.array([1.5, np.nan, np.inf, -np.inf, -0.0, 0.0, 1e-308] * 100)
+    roundtrip(pa.array(f), codec)
+    roundtrip(pa.array([1.5, None, np.nan, 2.0] * 50), codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_roundtrips(codec, rng):
+    cases = [
+        [],
+        [""],
+        ["a"],
+        ["", "", ""],
+        ["中文测试" * 10, "🎉emoji", "", "ascii"] * 50,
+        ["x" * 8192],  # 8 KiB single string
+        ["\xff☃", "contains\x00nul-ish? no, utf8"],
+        [f"https://host{i % 20}.example.com/p/{i}" for i in range(1000)],
+    ]
+    for items in cases:
+        roundtrip(pa.array(items, type=pa.string()), codec)
+    # escape-byte-heavy content (0xff is the FSST escape)
+    roundtrip(pa.array(["ÿ" * 50, "aÿbÿc"] * 20), codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_binary_roundtrips(codec, rng):
+    cases = [
+        [b"\x00" * 100, b"\xff" * 100, b"", b"\x00\xff\x00"],
+        [bytes(rng.integers(0, 256, 500, dtype=np.uint8)) for _ in range(20)],
+        [b"<html><head></head><body>hi</body></html>"] * 50,
+    ]
+    for items in cases:
+        roundtrip(pa.array(items, type=pa.binary()), codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_nulls(codec):
+    roundtrip(pa.array(["abc", None, "", None, "déf"] * 40), codec)
+    roundtrip(pa.array([None, None], type=pa.string()), codec)
+
+
+def test_dict_beats_raw_on_lang():
+    lang = pa.array(["en"] * 600 + ["zh"] * 120 + ["es", "de", "fr"] * 90)
+    m_dict, _ = roundtrip(lang, "dict")
+    m_raw, _ = roundtrip(lang, "raw")
+    assert m_dict["enc_bytes"] < m_raw["enc_bytes"] / 4
+
+
+def test_delta_beats_raw_on_monotone_ts(rng):
+    base = 1_704_067_200_000_000
+    ts = pa.array((base + np.cumsum(rng.integers(0, 800_000, 20000))).astype("datetime64[us]"))
+    m, _ = roundtrip(ts, "delta")
+    assert m["enc_bytes"] < m["raw_bytes"] / 2
+
+
+def test_patching_handles_outliers(rng):
+    x = rng.integers(0, 100, 100_000).astype(np.int64)
+    x[::1000] = 2**55
+    m, _ = roundtrip(pa.array(x), "for")
+    assert m["enc_bytes"] < 100_000 * 56 // 8 * 0.3  # far below unpatched width
