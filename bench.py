@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6, M7).
+
+Default mode (what the per-round driver runs): encode+decode the bench
+tables at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus a
+deterministic synthetic webtext table, on local[$SPARK_GRAFT_CPUS]
+(default 32), and print ONE JSON line::
+
+    {"metric": "encode_decode_total", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "throughput": {...}, "ratios": {...}}
+
+``--scaling`` mode: run the same job at two parallelism levels
+(local[8] vs local[32] — the sandbox substitute for N vs 4N executors
+authorized by the driver instructions) and write BENCH/BASELINE.md with
+throughputs + scaling efficiency (target >= 0.8, BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEBTEXT_ROWS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_ROWS", "150000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("libgiddy-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+
+
+def raw_uncompressed_bytes(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.table_io import list_parquet_files
+
+    total = 0
+    base_is_file = os.path.isfile(path)
+    for rel, _sz in list_parquet_files(path):
+        f = path if base_is_file else os.path.join(path, rel)
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).total_byte_size
+    return total
+
+
+def ensure_webtext(spark, rows: int) -> str:
+    path = f"/tmp/lgs_webtext_{rows}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from libgiddy_spark.webtext import write_webtext
+
+        write_webtext(spark, path, rows)
+    return path
+
+
+def bench_table(spark, src: str, key_col: str, num_parts: int) -> dict:
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from libgiddy_spark.engine import blocks_df, decode_blocks, encode_snapshot
+    from libgiddy_spark.table_io import list_parquet_files
+
+    out = f"/tmp/lgs_bench_{abs(hash((src, num_parts)))}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    encode_snapshot(spark, src, out, key_col=key_col, num_parts=num_parts,
+                    chunk_parts=num_parts)
+    t_enc = time.time() - t0
+    first = list_parquet_files(src)[0][0]
+    schema = pq.read_schema(src if os.path.isfile(src) else os.path.join(src, first))
+    dec = decode_blocks(spark, out, schema)
+    t0 = time.time()
+    # force full decode of every column JVM-side (xxhash64 touches all bytes)
+    dec.select(
+        F.sum(F.xxhash64(*[F.col(c) for c in dec.columns])).alias("h")
+    ).collect()
+    t_dec = time.time() - t0
+    sizes = (
+        blocks_df(spark, out)
+        .agg(F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"))
+        .collect()[0]
+    )
+    raw_b = int(sizes["raw"]) or 1
+    res = {
+        "encode_sec": round(t_enc, 3),
+        "decode_sec": round(t_dec, 3),
+        "raw_mb": round(raw_b / 1e6, 1),
+        "enc_mb": round(int(sizes["enc"]) / 1e6, 1),
+        "ratio": round(int(sizes["enc"]) / raw_b, 4),
+        "encode_gbps": round(raw_b / t_enc / 1e9, 3),
+        "decode_gbps": round(raw_b / t_dec / 1e9, 3),
+    }
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+def run_bench(cpus: int) -> dict:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        wt = ensure_webtext(spark, WEBTEXT_ROWS)
+        jobs = {
+            "webtext": (wt, "url", max(cpus, 16)),
+            "lineitem": (f"{SF_DIR}/lineitem.parquet", "l_orderkey", max(cpus, 16)),
+            "events": (f"{SF_DIR}/events.parquet", "event_id", max(cpus // 2, 8)),
+            "documents": (f"{SF_DIR}/documents.parquet", "doc_id", max(cpus // 2, 8)),
+        }
+        queries: dict[str, float] = {}
+        detail: dict[str, dict] = {}
+        for name, (src, key, nparts) in jobs.items():
+            r = bench_table(spark, src, key, nparts)
+            queries[name] = round(r["encode_sec"] + r["decode_sec"], 3)
+            detail[name] = r
+        return {"queries": queries, "detail": detail}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    res = run_bench(CPUS)
+    total = round(sum(res["queries"].values()), 3)
+    total_raw = sum(d["raw_mb"] for d in res["detail"].values())
+    total_enc = sum(d["enc_mb"] for d in res["detail"].values())
+    out = {
+        "metric": "encode_decode_total",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "throughput": {
+            k: {"encode_gbps": v["encode_gbps"], "decode_gbps": v["decode_gbps"]}
+            for k, v in res["detail"].items()
+        },
+        "compression_ratio": round(total_enc / max(total_raw, 0.001), 4),
+        "ratios": {k: v["ratio"] for k, v in res["detail"].items()},
+    }
+    print(json.dumps(out))
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
+    results = {}
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    for cpus in (8, 32):
+        runs = []
+        for _ in range(reps):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            runs.append(json.loads(line))
+        med = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
+        results[cpus] = med
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / 4.0
+    md = [
+        "# BENCH — measured results (see BASELINE.md for protocol)",
+        "",
+        f"Input: {SF_DIR} + synthetic webtext ({WEBTEXT_ROWS} rows, seed 42);",
+        f"median of {reps} repetitions per parallelism level.",
+        "",
+        "| parallelism | total enc+dec sec | per-query sec |",
+        "|---|---|---|",
+    ]
+    for cpus in (8, 32):
+        r = results[cpus]
+        md.append(f"| local[{cpus}] | {r['value']} | {json.dumps(r['queries'])} |")
+    md += [
+        "",
+        f"**Scaling efficiency (local[8] -> local[32], = N -> 4N): "
+        f"{eff:.3f}** (target >= 0.8, BASELINE.json:14; sandbox two-"
+        "parallelism substitute per driver instruction).",
+        "",
+        "## Throughput & compression at local[32]",
+        "",
+        "| table | encode GB/s | decode GB/s | ratio |",
+        "|---|---|---|---|",
+    ]
+    r32 = results[32]
+    for k, v in r32["throughput"].items():
+        md.append(
+            f"| {k} | {v['encode_gbps']} | {v['decode_gbps']} | {r32['ratios'][k]} |"
+        )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "local8_sec": t8, "local32_sec": t32}))
+
+
+if __name__ == "__main__":
+    main()

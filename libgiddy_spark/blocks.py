@@ -1,0 +1,149 @@
+"""Encoded-blocks dataset: schema + the Arrow group encode/decode kernels.
+
+One row per (partition, salt, column, block): SURVEY.md §1.2. The encode
+kernel runs under ``GroupedData.applyInArrow`` — the whole (part_id,
+salt) group arrives as one ``pyarrow.Table`` with zero pandas
+conversion, the per-column codecs run as numpy kernels, and block rows
+stream back as Arrow. No per-row Python anywhere (BASELINE.json:15).
+
+Scale note: the group is the encode unit by design — upstream
+partitioning (plus skew salting, skew.py) bounds it to one task's
+memory, exactly how libgiddy sizes a device buffer per kernel launch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import SymbolTable, decode_array, encode_array
+from .codecs import fsst as fsst_mod
+from .codecs import header as H
+from .codecs import strcol_of
+from .selector import select_codec
+
+BLOCK_ROWS = 65536
+
+BLOCKS_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("salt", pa.int32()),
+        ("block_seq", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("codec_params", pa.string()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("payload", pa.binary()),
+        ("sha256", pa.string()),
+    ]
+)
+
+BLOCKS_DDL = (
+    "part_id int, salt int, block_seq int, column string, codec string, "
+    "codec_params string, n_values long, raw_bytes long, enc_bytes long, "
+    "payload binary, sha256 string"
+)
+
+
+def _normalize(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = (
+                pa.concat_arrays(arr.chunks)
+                if arr.num_chunks != 1
+                else arr.chunk(0)
+            ) if arr.num_chunks else pa.array([], type=arr.type)
+    if pa.types.is_timestamp(arr.type) and (arr.type.unit != "us" or arr.type.tz):
+        arr = arr.cast(pa.timestamp("us"))
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    if pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    return arr
+
+
+def encode_group(
+    table: pa.Table,
+    part_id: int,
+    salt: int,
+    columns: list[str] | None = None,
+    sort_key: str | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    block_rows: int = BLOCK_ROWS,
+) -> pa.Table:
+    """Encode one (part_id, salt) group of source rows into block rows."""
+    if sort_key is not None and sort_key in table.column_names:
+        table = table.sort_by(sort_key)
+    cols = columns or [c for c in table.column_names if c not in ("part_id", "salt")]
+    out: dict[str, list] = {name: [] for name in BLOCKS_SCHEMA.names}
+    n = table.num_rows
+    for col_name in cols:
+        arr = _normalize(table.column(col_name))
+        forced = (forced_codecs or {}).get(col_name)
+        if forced:
+            codec, stats = forced, {"forced": True}
+        else:
+            codec, stats = select_codec(arr, col_name)
+        fsst_table: SymbolTable | None = None
+        if codec == "fsst":
+            dense = arr.drop_null() if arr.null_count else arr
+            fsst_table = fsst_mod.train(strcol_of(dense).data)
+        params = json.dumps({"stats": stats}, separators=(",", ":"))
+        for seq, start in enumerate(range(0, max(n, 1), block_rows)):
+            chunk = arr.slice(start, block_rows)
+            if len(chunk) == 0 and n > 0:
+                break
+            payload, meta = encode_array(chunk, codec, fsst_table=fsst_table)
+            out["part_id"].append(part_id)
+            out["salt"].append(salt)
+            out["block_seq"].append(seq)
+            out["column"].append(col_name)
+            out["codec"].append(codec)
+            out["codec_params"].append(params if seq == 0 else "{}")
+            out["n_values"].append(meta["n_values"])
+            out["raw_bytes"].append(meta["raw_bytes"])
+            out["enc_bytes"].append(meta["enc_bytes"])
+            out["payload"].append(payload)
+            out["sha256"].append(hashlib.sha256(payload).hexdigest())
+            if n == 0:
+                break
+    return pa.table(out, schema=BLOCKS_SCHEMA)
+
+
+def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Decode one (part_id, salt) group of block rows back to source rows.
+
+    Blocks are ordered by (column, block_seq); per-column decoded chunks
+    concatenate into full columns whose row alignment is guaranteed by
+    identical chunking at encode time.
+    """
+    table = table.sort_by([("column", "ascending"), ("block_seq", "ascending")])
+    cols_present = table.column("column").to_pylist()
+    payloads = table.column("payload").to_pylist()
+    by_col: dict[str, list[pa.Array]] = {}
+    for name, payload in zip(cols_present, payloads):
+        by_col.setdefault(name, []).append(decode_array(payload))
+    arrays, names = [], []
+    for field in schema:
+        if field.name not in by_col:
+            continue
+        chunks = by_col[field.name]
+        arr = chunks[0] if len(chunks) == 1 else pa.concat_arrays(chunks)
+        typ = field.type
+        if pa.types.is_timestamp(typ):
+            # Spark's Arrow exchange wants tz-aware micros; engine
+            # convention is session timeZone=UTC so values pass through
+            typ = pa.timestamp("us", tz="UTC")
+        arrays.append(arr.cast(typ))
+        names.append(field.name)
+    pid = table.column("part_id")[0].as_py() if table.num_rows else -1
+    n = len(arrays[0]) if arrays else 0
+    arrays.append(pa.array(np.full(n, pid, dtype=np.int32)))
+    names.append("part_id")
+    return pa.table(arrays, names=names)

@@ -1,0 +1,283 @@
+"""Encode / decode / verify job orchestration (SURVEY.md §3.2).
+
+Encode lifecycle::
+
+    load snapshot -> resume filter (manifest)       [driver plan]
+    -> per-chunk: skew stats -> salt -> range-repartition   [the one shuffle]
+    -> groupBy(part_id, salt).applyInArrow(encode)  [Arrow -> numpy kernels]
+    -> blocks parquet (temp dir + atomic rename)    [executors write]
+    -> manifest lines per partition                 [driver commit point]
+
+Everything driver-side touches only metadata (partition ids, byte
+stats, manifest lines) — no row data is ever collected.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .blocks import BLOCKS_DDL, decode_group, encode_group
+from .manifest import Manifest
+from .skew import apply_salting, partition_byte_stats, salt_factors
+from .table_io import default_num_parts, load_source, snapshot_id_of
+
+
+def _source_files(path: str) -> list[dict]:
+    from .table_io import list_parquet_files
+
+    return [{"path": p, "bytes": s} for p, s in list_parquet_files(path)]
+
+
+def encode_snapshot(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    key_col: str,
+    num_parts: int | None = None,
+    chunk_parts: int = 64,
+    fat_columns: tuple[str, ...] = ("html", "text"),
+    forced_codecs: dict[str, str] | None = None,
+    sort_key: str | None = None,
+    target_salt_bytes: int = 128 << 20,
+    block_rows: int = 65536,
+    columns: list[str] | None = None,
+) -> dict:
+    """Resumable chunked encode job. Returns a summary dict."""
+    t_start = time.time()
+    snapshot_id = snapshot_id_of(source_path)
+    num_parts = num_parts or default_num_parts(spark, source_path)
+    manifest = Manifest(out_dir)
+    manifest.write_snapshot_header(
+        snapshot_id, source_path, _source_files(source_path), num_parts
+    )
+    blocks_root = os.path.join(out_dir, "blocks")
+    os.makedirs(blocks_root, exist_ok=True)
+    done = manifest.done_parts(snapshot_id)
+    # resume sweep: drop uncommitted temp dirs AND any renamed chunk dir
+    # whose parts never reached the manifest (crash between rename and
+    # append) — each chunk dir carries a _PARTS marker listing its parts
+    for d in os.listdir(blocks_root):
+        full = os.path.join(blocks_root, d)
+        if d.startswith("_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        marker = os.path.join(full, "_PARTS")
+        if os.path.isdir(full) and os.path.exists(marker):
+            with open(marker) as f:
+                parts_in_dir = [int(x) for x in f.read().split() if x]
+            if any(p not in done for p in parts_in_dir):
+                shutil.rmtree(full, ignore_errors=True)
+    pending = [p for p in range(num_parts) if p not in done]
+    df = load_source(spark, source_path, key_col, num_parts)
+    if columns:
+        df = df.select(*columns, "part_id")
+    data_cols = [c for c in df.columns if c != "part_id"]
+    sort_key = sort_key or key_col
+    encoded_parts = 0
+
+    # NOTE: deliberately un-annotated — pyspark 4.1's applyInArrow hint
+    # inference raises (and then crashes on an unbound local) when only
+    # some parameters carry hints; un-annotated funcs take the safe path.
+    def encode_fn(key, table):
+        part_id, salt = int(key[0].as_py()), int(key[1].as_py())
+        return encode_group(
+            table.drop_columns([c for c in ("part_id", "salt") if c in table.column_names]),
+            part_id,
+            salt,
+            columns=data_cols,
+            sort_key=sort_key,
+            forced_codecs=forced_codecs,
+            block_rows=block_rows,
+        )
+
+    for lo in range(0, len(pending), chunk_parts):
+        chunk = pending[lo : lo + chunk_parts]
+        sub = df.filter(F.col("part_id").isin([int(c) for c in chunk]))
+        stats = partition_byte_stats(sub, list(fat_columns))
+        factors = salt_factors(stats, target_bytes=target_salt_bytes)
+        nslices = max(sum(factors.values()), 1)
+        salted = apply_salting(sub, factors, key_col, shuffle_parts=nslices)
+        blocks = salted.groupBy("part_id", "salt").applyInArrow(
+            encode_fn, schema=BLOCKS_DDL
+        )
+        tmp = os.path.join(blocks_root, f"_tmp_{chunk[0]}_{chunk[-1]}")
+        final = os.path.join(blocks_root, f"chunk-{chunk[0]:05d}-{chunk[-1]:05d}")
+        if os.path.exists(final):  # crashed between rename and manifest append
+            shutil.rmtree(final)
+        t0 = time.time()
+        blocks.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_PARTS"), "w") as f:
+            f.write(" ".join(str(int(p)) for p in chunk))
+        os.rename(tmp, final)  # atomic commit of the chunk's data
+        # per-part metrics from the written files (payload column pruned)
+        mdf = (
+            spark.read.parquet(final)
+            .groupBy("part_id", "column")
+            .agg(
+                F.first("codec").alias("codec"),
+                F.sum("n_values").alias("n_values"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.count("*").alias("n_blocks"),
+                F.first("codec_params").alias("codec_params"),
+            )
+        ).collect()
+        per_part: dict[int, dict] = {
+            int(p): {
+                "part_id": int(p),
+                "chunk_dir": os.path.basename(final),
+                "salts": int(factors.get(int(p), 1)),
+                "input_bytes_est": int(stats.get(int(p), 0)),
+                "encode_secs": round(time.time() - t0, 3),
+                "columns": {},
+            }
+            for p in chunk
+        }
+        for r in mdf:
+            e = per_part[int(r["part_id"])]
+            e["columns"][r["column"]] = {
+                "codec": r["codec"],
+                "n_values": int(r["n_values"]) ,
+                "raw_bytes": int(r["raw_bytes"]),
+                "enc_bytes": int(r["enc_bytes"]),
+                "n_blocks": int(r["n_blocks"]),
+                "codec_params": r["codec_params"],
+            }
+        entries = [e for e in per_part.values() if e["columns"]]
+        empty = [
+            {**per_part[p], "status": "done", "empty": True}
+            for p in per_part
+            if not per_part[p]["columns"]
+        ]
+        manifest.mark_done(snapshot_id, entries + empty)
+        encoded_parts += len(chunk)
+    return {
+        "snapshot_id": snapshot_id,
+        "num_parts": num_parts,
+        "skipped_done": len(done),
+        "encoded_parts": encoded_parts,
+        "secs": round(time.time() - t_start, 3),
+    }
+
+
+def blocks_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out_dir, "blocks")
+    )
+
+
+def decode_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    schema: pa.Schema,
+    part_ids: list[int] | None = None,
+) -> DataFrame:
+    """Blocks -> original rows (+ part_id). One task per (part, salt)."""
+    bdf = blocks_df(spark, out_dir)
+    if part_ids is not None:
+        bdf = bdf.filter(F.col("part_id").isin([int(p) for p in part_ids]))
+
+    def decode_fn(table: pa.Table) -> pa.Table:
+        return decode_group(table, schema)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
+    )
+    return bdf.groupBy("part_id", "salt").applyInArrow(
+        lambda key, tbl: decode_fn(tbl), schema=out_fields + ", part_id int"
+    )
+
+
+_SPARK_TYPES = {
+    pa.int8(): "byte",
+    pa.int16(): "short",
+    pa.int32(): "int",
+    pa.int64(): "long",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.binary(): "binary",
+    pa.large_binary(): "binary",
+    pa.timestamp("us"): "timestamp",
+}
+
+
+def _spark_type_of(t: pa.DataType) -> str:
+    if t in _SPARK_TYPES:
+        return _SPARK_TYPES[t]
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    raise TypeError(f"unsupported type {t}")
+
+
+def roundtrip_df(
+    spark: SparkSession,
+    source_path: str,
+    key_col: str,
+    columns: list[str] | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    num_parts: int = 8,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Encode source -> blocks -> decode; returns the decoded DataFrame.
+
+    The driver-contract queries use this to prove end-to-end round-trip
+    identity per scheme against a DuckDB oracle reading the raw source.
+    """
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    out = out_dir or tempfile.mkdtemp(prefix="lgs_rt_")
+    if os.path.exists(os.path.join(out, "manifest.jsonl")):
+        shutil.rmtree(out)
+    schema = pq.read_schema(source_path)
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    encode_snapshot(
+        spark,
+        source_path,
+        out,
+        key_col=key_col,
+        num_parts=num_parts,
+        forced_codecs=forced_codecs,
+        columns=columns,
+    )
+    dec = decode_blocks(spark, out, schema)
+    keep = columns or [f.name for f in schema]
+    return dec.select(*keep)
+
+
+def verify_roundtrip(
+    source: DataFrame, decoded: DataFrame, key_col: str, columns: list[str] | None = None
+) -> dict:
+    """Join decoded rows to the source on the key and count per-column
+    mismatches (null-safe equality; bytes compared exactly). All-zero
+    result = bit-identical round-trip (BASELINE.json:15)."""
+    cols = columns or [c for c in source.columns if c not in ("part_id",)]
+    s = source.select([F.col(c).alias(f"s_{c}") for c in cols])
+    d = decoded.select([F.col(c).alias(f"d_{c}") for c in cols])
+    j = s.join(d, F.col(f"s_{key_col}") == F.col(f"d_{key_col}"), "full_outer")
+    aggs = [
+        F.sum(
+            F.when(~F.col(f"s_{c}").eqNullSafe(F.col(f"d_{c}")), 1).otherwise(0)
+        ).alias(c)
+        for c in cols
+    ]
+    row = j.agg(*aggs).collect()[0]
+    mismatches = {c: int(row[c] or 0) for c in cols}
+    n_source = source.count()
+    n_decoded = decoded.count()
+    return {
+        "rows_source": n_source,
+        "rows_decoded": n_decoded,
+        "mismatches": mismatches,
+        "ok": n_source == n_decoded and all(v == 0 for v in mismatches.values()),
+    }

@@ -1,0 +1,135 @@
+"""End-to-end Spark tests: encode -> blocks -> decode -> bit-identity,
+manifest resume, skew salting (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from libgiddy_spark.engine import (
+    blocks_df,
+    decode_blocks,
+    encode_snapshot,
+    verify_roundtrip,
+)
+from libgiddy_spark.manifest import Manifest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_documents_roundtrip(spark, tmp_path):
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "docs")
+    s = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=4, chunk_parts=2)
+    assert s["encoded_parts"] == 4
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
+    assert rep["ok"], rep
+
+
+def test_events_roundtrip_with_timestamps(spark, tmp_path):
+    src = f"{SF}/events.parquet"
+    out = str(tmp_path / "ev")
+    encode_snapshot(spark, src, out, key_col="event_id", num_parts=4)
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "event_id")
+    assert rep["ok"], rep
+
+
+def test_resume_skips_done_parts(spark, tmp_path):
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "resume")
+    encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=3)
+    s2 = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=3)
+    assert s2["encoded_parts"] == 0 and s2["skipped_done"] == 6
+
+
+def test_resume_after_crash_between_chunks(spark, tmp_path, monkeypatch):
+    """Kill after the first chunk's manifest commit; rerun must re-encode
+    only the remaining parts and the result must still verify."""
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "crash")
+    calls = {"n": 0}
+    orig = Manifest.mark_done
+
+    def dying_mark_done(self, snapshot_id, entries):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before 2nd chunk commit")
+        return orig(self, snapshot_id, entries)
+
+    monkeypatch.setattr(Manifest, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError):
+        encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=2)
+    monkeypatch.setattr(Manifest, "mark_done", orig)
+
+    chunk0 = os.path.join(out, "blocks", "chunk-00000-00001")
+    mtime0 = os.path.getmtime(chunk0)
+    s = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=2)
+    assert s["skipped_done"] == 2  # first chunk's parts committed
+    assert s["encoded_parts"] == 4  # the rest re-encoded (incl. orphan chunk)
+    assert os.path.getmtime(chunk0) == mtime0  # chunk 0 untouched
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
+    assert rep["ok"], rep
+    # no duplicate rows from orphan block dirs
+    assert dec.count() == spark.read.parquet(src).count()
+
+
+def test_skew_salting_splits_heavy_partition(spark, tmp_path):
+    """A planted 100x partition must fan out into >1 salted encode task
+    (BASELINE.json:6 'salted and range-repartitioned')."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 4000
+    rng = np.random.default_rng(0)
+    url = [f"https://h{i % 97}.com/{i}" for i in range(n)]
+    # heavy rows: every 4th row gets a 100x text
+    text = ["x" * (40000 if i % 4 == 0 else 400) for i in range(n)]
+    tbl = pa.table({"url": url, "text": text})
+    src = str(tmp_path / "skewed.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "skewout")
+    encode_snapshot(
+        spark, src, out, key_col="url", num_parts=2, chunk_parts=2,
+        fat_columns=("text",), target_salt_bytes=1 << 20,
+    )
+    bdf = blocks_df(spark, out)
+    salts = (
+        bdf.groupBy("part_id").agg(F.countDistinct("salt").alias("k")).collect()
+    )
+    assert max(r["k"] for r in salts) > 1, salts
+    dec = decode_blocks(spark, out, tbl.schema)
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "url")
+    assert rep["ok"], rep
+
+
+def test_webtext_roundtrip(spark, tmp_path):
+    """North-rule input shape (url, warc_ts, html, text, lang): generate,
+    encode with auto selection, decode, verify byte-identical text per
+    url (BASELINE.json:15 invariant)."""
+    from libgiddy_spark.webtext import write_webtext
+
+    src = str(tmp_path / "webtext")
+    write_webtext(spark, src, 3000)
+    out = str(tmp_path / "wtout")
+    encode_snapshot(spark, src, out, key_col="url", num_parts=4)
+    dec = decode_blocks(spark, out, pq.read_schema_of_first(src) if hasattr(pq, "read_schema_of_first") else _first_schema(src))
+    srcdf = spark.read.parquet(src)
+    rep = verify_roundtrip(srcdf, dec, "url")
+    assert rep["ok"], rep
+    # codec choices recorded in manifest
+    entries = Manifest(out).read()
+    cols = [e["columns"] for e in entries if e.get("kind") == "part"]
+    assert cols and all("codec" in c[k] for c in cols for k in c)
+
+
+def _first_schema(path):
+    import glob
+
+    f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    return pq.read_schema(f)
