@@ -24,6 +24,14 @@ import subprocess
 import sys
 import time
 
+# glibc heap-reuse knobs must be set before the interpreter's first
+# malloc to help THIS process; re-exec once if missing (workers inherit
+# via libgiddy_spark.__init__ + executorEnv below).
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = "1073741824"
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WEBTEXT_ROWS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_ROWS", "150000"))
@@ -42,6 +50,9 @@ def make_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # heap-reuse for numpy kernels in python workers (see __init__)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .getOrCreate()
     )
 
@@ -88,9 +99,10 @@ def bench_table(spark, src: str, key_col: str, num_parts: int) -> dict:
     schema = pq.read_schema(src if os.path.isfile(src) else os.path.join(src, first))
     dec = decode_blocks(spark, out, schema)
     t0 = time.time()
-    # force full decode of every column JVM-side (xxhash64 touches all bytes)
+    # force full decode of every column JVM-side (xxhash64 touches all
+    # bytes; avg avoids ANSI long-sum overflow)
     dec.select(
-        F.sum(F.xxhash64(*[F.col(c) for c in dec.columns])).alias("h")
+        F.avg(F.xxhash64(*[F.col(c) for c in dec.columns])).alias("h")
     ).collect()
     t_dec = time.time() - t0
     sizes = (

@@ -14,3 +14,14 @@ per-row Python anywhere.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Keep glibc from mmap/munmap-ing every large numpy buffer: freshly
+# mapped pages fault-in extremely slowly on virtualized hosts (measured
+# ~10 s per 100 MB first-touch on this sandbox vs ~1 ms reused). Heap
+# reuse makes the Arrow/numpy kernels allocation-stable. Set before the
+# JVM (and thus the pyspark worker daemons) is spawned; for real
+# clusters also pass via spark.executorEnv.* (see bench.py/make_spark).
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")

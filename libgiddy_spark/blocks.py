@@ -86,12 +86,13 @@ def encode_group(
     for col_name in cols:
         arr = _normalize(table.column(col_name))
         forced = (forced_codecs or {}).get(col_name)
+        artifacts: dict = {}
         if forced:
             codec, stats = forced, {"forced": True}
         else:
-            codec, stats = select_codec(arr, col_name)
-        fsst_table: SymbolTable | None = None
-        if codec == "fsst":
+            codec, stats, artifacts = select_codec(arr, col_name)
+        fsst_table: SymbolTable | None = artifacts.get("fsst_table")
+        if codec == "fsst" and fsst_table is None:
             dense = arr.drop_null() if arr.null_count else arr
             fsst_table = fsst_mod.train(strcol_of(dense).data)
         params = json.dumps({"stats": stats}, separators=(",", ":"))

@@ -50,18 +50,39 @@ class SymbolTable:
         self.matrix = np.zeros((max(len(symbols), 1), MAX_SYM_LEN), dtype=np.uint8)
         for i, s in enumerate(symbols):
             self.matrix[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        # per-length sorted lookup (masked u64 value -> code)
-        self.by_len: list[tuple[np.ndarray, np.ndarray]] = [
-            (np.zeros(0, np.uint64), np.zeros(0, np.int64)) for _ in range(9)
-        ]
-        vals64 = np.zeros(len(symbols), dtype=np.uint64)
+        # masked u64 value per symbol + 2-byte-prefix candidate table
+        # (SURVEY.md §2.1 #13): P[prefix2] lists codes of len>=2 symbols
+        # starting with those two bytes, longest first; T1 maps a single
+        # byte to its 1-byte symbol code (or -1).
+        vals64 = np.zeros(max(len(symbols), 1), dtype=np.uint64)
         for i, s in enumerate(symbols):
-            vals64[i] = int.from_bytes(s.ljust(8, b"\0"), "little")
-        for l in range(1, 9):
-            sel = np.flatnonzero(self.lens == l)
-            v = vals64[sel] & _MASKS[l]
-            order = np.argsort(v)
-            self.by_len[l] = (v[order], sel[order].astype(np.int64))
+            vals64[i] = int.from_bytes(s.ljust(8, b"\0"), "little") & int(_MASKS[len(s)])
+        self.vals64 = vals64
+        self.lens_safe = self.lens if len(symbols) else np.zeros(1, np.int64)
+        self.t1 = np.full(256, -1, dtype=np.int64)
+        multi = []
+        for i, s in enumerate(symbols):
+            if len(s) == 1:
+                self.t1[s[0]] = i
+            else:
+                multi.append(i)
+        if multi:
+            multi_arr = np.array(multi, dtype=np.int64)
+            pref = (vals64[multi_arr] & _U64(0xFFFF)).astype(np.int64)
+            order = np.lexsort((-self.lens[multi_arr], pref))
+            multi_arr, pref = multi_arr[order], pref[order]
+            counts = np.bincount(pref, minlength=65536)
+            self.k_max = int(counts.max())
+            self.prefix = np.full((65536, self.k_max), -1, dtype=np.int64)
+            slot = np.zeros(65536, dtype=np.int64)
+            for sym, p in zip(multi_arr, pref):  # <=255 symbols: cheap
+                self.prefix[p, slot[p]] = sym
+                slot[p] += 1
+            self.prefix_flat = self.prefix.ravel()
+        else:
+            self.k_max = 0
+            self.prefix = np.full((65536, 0), -1, dtype=np.int64)
+            self.prefix_flat = self.prefix.ravel()
 
     def serialize(self) -> bytes:
         lens = bytes(self.lens.astype(np.uint8).tobytes())
@@ -79,81 +100,131 @@ class SymbolTable:
         return cls(syms)
 
 
-def _read8(data_padded: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """Little-endian u64 window at each position (8 byte-gathers)."""
-    w = data_padded[pos].astype(np.uint64)
-    for k in range(1, 8):
-        w |= data_padded[pos + k].astype(np.uint64) << _U64(8 * k)
-    return w
+ENC_CHUNK = 1024  # codec spec: symbols never span 1 KiB chunk boundaries
+# within a string — bounds the lock-step iteration count (a straggler
+# 1 MB document would otherwise serialize the whole batch) exactly like
+# a GPU kernel bounds per-thread work by splitting long inputs across
+# threads. The sequential reference encoder chunks identically, so the
+# token stream stays byte-identical between the two.
+
+
+def _lane_split(col: StrCol, chunk: int = ENC_CHUNK):
+    """Split rows into lanes of <= chunk bytes.
+
+    Returns (lane_start, lane_end, lane_row) with lanes in row-major,
+    chunk-ascending order (so per-lane streams concatenate per row)."""
+    lens = col.lengths()
+    n_chunks = np.maximum((lens + chunk - 1) // chunk, 0).astype(np.int64)
+    total = int(n_chunks.sum())
+    lane_row = np.repeat(np.arange(len(col), dtype=np.int64), n_chunks)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    lane_start = col.offsets[:-1][lane_row] + within * chunk
+    lane_end = np.minimum(lane_start + chunk, col.offsets[1:][lane_row])
+    return lane_start, lane_end, lane_row
+
+
+def _window_fn(data: np.ndarray):
+    """Returns pos-array -> little-endian u64 window reader.
+
+    Two aligned u64 gathers + shifts per position (unaligned-read trick),
+    no precomputed window array."""
+    n = len(data)
+    pad = (-n) % 8 + 16
+    padded = np.concatenate([data, np.zeros(pad, np.uint8)])
+    aligned = padded.view(np.uint64)
+
+    def read(pos):
+        pos = pos.astype(np.uint64, copy=False)
+        word = (pos >> _U64(3)).astype(np.int64)
+        sh = (pos & _U64(7)) << _U64(3)
+        lo = aligned[word] >> sh
+        hi = (aligned[word + 1] << ((_U64(64) - sh) & _U64(63))) * (sh != 0)
+        return lo | hi
+
+    return read
 
 
 def encode_tokens(col: StrCol, table: SymbolTable):
     """Greedy longest-match tokenize every string, lanes in lock-step.
 
+    One lane per <=4 KiB chunk of each string (see ENC_CHUNK); all lanes
+    advance together, each iteration doing whole-array gathers — the CPU
+    transposition of a GPU warp. Token order is recovered by direct
+    scatter (a lane's k-th token comes from iteration k), no sort.
+
     Returns (codes: uint8 stream incl. escapes+literals,
              out_lens: int64 encoded byte count per string).
     """
     n = len(col)
-    data = np.concatenate([col.data, np.zeros(MAX_SYM_LEN, np.uint8)])
-    cursor = col.offsets[:-1].copy()
-    end = col.offsets[1:].copy()
-    lanes_all = np.arange(n, dtype=np.int64)
+    cursor, end, lane_row = _lane_split(col)
+    n_lanes = len(cursor)
+    read8 = _window_fn(col.data)
     active = np.flatnonzero(cursor < end)
-    chunks_lane: list[np.ndarray] = []
-    chunks_tok: list[np.ndarray] = []  # uint16: code<<8 | literal (if escape)
     have_syms = len(table.symbols) > 0
+    iters_lane: list[np.ndarray] = []
+    iters_tok: list[np.ndarray] = []  # uint16: code<<8 | literal (escapes)
+    lane_ntok = np.zeros(n_lanes, dtype=np.int64)
     while len(active):
         pos = cursor[active]
         rem = end[active] - pos
-        w = _read8(data, pos)
+        w = read8(pos)
         match_code = np.full(len(active), -1, dtype=np.int64)
         match_len = np.ones(len(active), dtype=np.int64)
+        low = w & _U64(0xFF)
         if have_syms:
             unmatched = np.ones(len(active), dtype=bool)
-            for l in range(MAX_SYM_LEN, 0, -1):
-                vals, codes = table.by_len[l]
-                if len(vals) == 0:
-                    continue
-                cand = unmatched & (rem >= l)
-                if not cand.any():
-                    continue
-                mv = w & _MASKS[l]
-                j = np.searchsorted(vals, mv)
-                j = np.minimum(j, len(vals) - 1)
-                hit = cand & (vals[j] == mv)
-                match_code[hit] = codes[j[hit]]
-                match_len[hit] = l
+            key_base = (w & _U64(0xFFFF)).astype(np.int64) * table.k_max
+            for k in range(table.k_max):
+                cand = table.prefix_flat[key_base + k]
+                live = unmatched & (cand >= 0)
+                if not live.any():
+                    break
+                safe = np.maximum(cand, 0)
+                cl = table.lens_safe[safe]
+                hit = live & (rem >= cl) & ((w & _MASKS[cl]) == table.vals64[safe])
+                match_code[hit] = cand[hit]
+                match_len[hit] = cl[hit]
                 unmatched &= ~hit
+            c1 = table.t1[low]
+            hit1 = unmatched & (c1 >= 0)
+            match_code[hit1] = c1[hit1]
         is_esc = match_code < 0
-        lit = (w & _U64(0xFF)).astype(np.uint16)
         tok = np.where(
             is_esc,
-            (np.uint16(ESCAPE) << np.uint16(8)) | lit,
-            match_code.astype(np.uint16) << np.uint16(8),
+            (ESCAPE << 8) | low.astype(np.int64),
+            match_code << 8,
         ).astype(np.uint16)
-        # high byte = code (255 = escape), low byte = literal (escapes only)
-        chunks_lane.append(active.copy())
-        chunks_tok.append(tok)
+        iters_lane.append(active)
+        iters_tok.append(tok)
+        lane_ntok[active] += 1
         cursor[active] = pos + match_len
         active = active[match_len < rem]
-    if not chunks_lane:
+    if not iters_lane:
         return np.zeros(0, np.uint8), np.zeros(n, np.int64)
-    all_lane = np.concatenate(chunks_lane)
-    all_tok = np.concatenate(chunks_tok)
-    order = np.argsort(all_lane, kind="stable")  # lane-major, iter order kept
-    all_lane = all_lane[order]
-    all_tok = all_tok[order]
-    code_hi = (all_tok >> np.uint16(8)).astype(np.uint8)
+    # lane-major token stream via scatter: lane's t-th token <- iteration t
+    tok_start = np.zeros(n_lanes, dtype=np.int64)
+    np.cumsum(lane_ntok[:-1], out=tok_start[1:])
+    total_tok = int(lane_ntok.sum())
+    stream = np.empty(total_tok, dtype=np.uint16)
+    for t, (lanes_t, tok_t) in enumerate(zip(iters_lane, iters_tok)):
+        stream[tok_start[lanes_t] + t] = tok_t
+    code_hi = (stream >> np.uint16(8)).astype(np.uint8)
     is_esc = code_hi == ESCAPE
     nbytes_tok = np.where(is_esc, 2, 1).astype(np.int64)
     out_total = int(nbytes_tok.sum())
-    offs = np.zeros(len(all_tok) + 1, dtype=np.int64)
+    offs = np.zeros(total_tok + 1, dtype=np.int64)
     np.cumsum(nbytes_tok, out=offs[1:])
     out = np.empty(out_total, dtype=np.uint8)
     out[offs[:-1]] = code_hi
     esc_idx = np.flatnonzero(is_esc)
-    out[offs[:-1][esc_idx] + 1] = (all_tok[esc_idx] & np.uint16(0xFF)).astype(np.uint8)
-    out_lens = np.bincount(all_lane, weights=nbytes_tok, minlength=n).astype(np.int64)
+    out[offs[:-1][esc_idx] + 1] = (stream[esc_idx] & np.uint16(0xFF)).astype(np.uint8)
+    # per-ROW encoded byte counts (lanes are row-major contiguous)
+    lane_bytes = np.bincount(
+        np.repeat(np.arange(n_lanes), lane_ntok), weights=nbytes_tok, minlength=n_lanes
+    ).astype(np.int64) if n_lanes else np.zeros(0, np.int64)
+    out_lens = np.bincount(lane_row, weights=lane_bytes, minlength=n).astype(np.int64)
     return out, out_lens
 
 
@@ -197,15 +268,23 @@ def decode_stream(codes: np.ndarray, table: SymbolTable):
     total = int(out_len.sum())
     offs = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(out_len, out=offs[1:])
-    src = np.repeat(np.arange(m, dtype=np.int64), out_len)
-    within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], out_len)
-    kind_rep = kind[src]
-    code_rep = codes[src].astype(np.int64)
-    out = np.where(
-        kind_rep == 2,
-        code_rep.astype(np.uint8),
-        table.matrix[np.minimum(code_rep, len(table.matrix) - 1), within],
-    ).astype(np.uint8)
+    # assembly by symbol-length class: <= 8x8 strided scatters over token
+    # subsets instead of one giant token-expanded gather (8x less traffic)
+    out = np.empty(total, dtype=np.uint8)
+    lit_sel = np.flatnonzero(kind == 2)
+    out[offs[lit_sel]] = codes[lit_sel]
+    tok_len = np.where(kind == 0, sym_lens[safe_codes], np.int64(0))
+    for L in np.unique(sym_lens):
+        L = int(L)
+        if L == 0:
+            continue
+        sel = np.flatnonzero(tok_len == L)
+        if len(sel) == 0:
+            continue
+        base = offs[sel]
+        cds = safe_codes[sel]
+        for k in range(L):
+            out[base + k] = table.matrix[cds, k]
     return out, offs
 
 
@@ -239,15 +318,21 @@ def train(sample: np.ndarray, generations: int = 4) -> SymbolTable:
             cand_val.append(pv)
             cand_len.append(pair_len[ok])
         v = np.concatenate(cand_val)
-        l = np.concatenate(cand_len)
-        key = np.stack([v, l.astype(np.uint64)], axis=1)
-        uniq, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
-        gain = counts * uniq[:, 1]  # count * length
-        order = np.lexsort((uniq[:, 1], uniq[:, 0], -gain.astype(np.int64)))
-        top = order[:MAX_SYMBOLS]
+        l = np.concatenate(cand_len).astype(np.uint64)
+        # unique (value, len) pairs + counts via lexsort (np.unique
+        # axis=0 is an order of magnitude slower here)
+        order = np.lexsort((l, v))
+        vs, ls = v[order], l[order]
+        bound = np.ones(len(vs), dtype=bool)
+        bound[1:] = (vs[1:] != vs[:-1]) | (ls[1:] != ls[:-1])
+        starts = np.flatnonzero(bound)
+        counts = np.diff(np.append(starts, len(vs)))
+        uv, ul = vs[starts], ls[starts]
+        gain = counts * ul  # count * length
+        top = np.lexsort((ul, uv, -gain.astype(np.int64)))[:MAX_SYMBOLS]
         syms = []
         for row in top:
-            val, ln = int(uniq[row, 0]), int(uniq[row, 1])
+            val, ln = int(uv[row]), int(ul[row])
             syms.append(val.to_bytes(8, "little")[:ln])
         table = SymbolTable(syms)
     return table
@@ -265,8 +350,7 @@ def _token_values(codes: np.ndarray, table: SymbolTable, sample: np.ndarray):
     tok_mask = np.diff(offs) > 0  # escape positions contribute 0 bytes
     starts = offs[:-1][tok_mask]
     lens = np.diff(offs)[tok_mask]
-    padded = np.concatenate([out_bytes, np.zeros(8, np.uint8)])
-    vals = _read8(padded, starts) & _MASKS[np.minimum(lens, 8)]
+    vals = _window_fn(out_bytes)(starts) & _MASKS[np.minimum(lens, 8)]
     return vals, lens.astype(np.int64)
 
 

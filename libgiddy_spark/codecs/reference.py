@@ -127,24 +127,31 @@ def naive_fsst_encode(items: list[bytes], table: SymbolTable) -> bytes:
     """Per-byte Python greedy longest-match with the SAME trained table —
     the obviously-correct sequential mirror of the vectorized encoder.
     Returns the code stream, so tests can also assert the vectorized
-    token stream is byte-identical, not merely no larger."""
+    token stream is byte-identical, not merely no larger.
+
+    Codec spec shared with the vectorized encoder: symbols never span
+    4 KiB chunk boundaries within a string (fsst.ENC_CHUNK)."""
+    from .fsst import ENC_CHUNK
+
     by_len: dict[int, dict[bytes, int]] = {}
     for code, s in enumerate(table.symbols):
         by_len.setdefault(len(s), {})[s] = code
     out = bytearray()
-    for s in items:
-        i = 0
-        while i < len(s):
-            for l in range(min(8, len(s) - i), 0, -1):
-                code = by_len.get(l, {}).get(s[i : i + l])
-                if code is not None:
-                    out.append(code)
-                    i += l
-                    break
-            else:
-                out.append(ESCAPE)
-                out.append(s[i])
-                i += 1
+    for s0 in items:
+        for c in range(0, len(s0), ENC_CHUNK):
+            s = s0[c : c + ENC_CHUNK]
+            i = 0
+            while i < len(s):
+                for l in range(min(8, len(s) - i), 0, -1):
+                    code = by_len.get(l, {}).get(s[i : i + l])
+                    if code is not None:
+                        out.append(code)
+                        i += l
+                        break
+                else:
+                    out.append(ESCAPE)
+                    out.append(s[i])
+                    i += 1
     return bytes(out)
 
 

@@ -39,14 +39,19 @@ def _sample(arr: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
     return arr.take(pa.array(idx, type=pa.int64()))
 
 
-def select_codec(arr: pa.Array, column: str | None = None) -> tuple[str, dict]:
-    """-> (codec name, stats dict). ``arr`` is one column of a partition."""
+def select_codec(
+    arr: pa.Array, column: str | None = None
+) -> tuple[str, dict, dict]:
+    """-> (codec name, stats dict, artifacts dict).
+
+    ``artifacts`` may carry a trial-trained FSST table ('fsst_table')
+    so the encoder does not re-train on the same partition."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n_total = len(arr)
     dense = arr.drop_null() if arr.null_count else arr
     if len(dense) == 0:
-        return "raw", {"n": n_total, "reason": "all-null-or-empty"}
+        return "raw", {"n": n_total, "reason": "all-null-or-empty"}, {}
     s = _sample(dense)
     n = len(s)
     dt = None
@@ -55,11 +60,12 @@ def select_codec(arr: pa.Array, column: str | None = None) -> tuple[str, dict]:
 
         dt = _logical_dt(s.type)
     except TypeError:
-        return "raw", {"n": n_total, "reason": "unsupported-type"}
+        return "raw", {"n": n_total, "reason": "unsupported-type"}, {}
 
     if H.is_string_dt(dt):
         return _select_string(s, n_total)
-    return _select_numeric(s, dt, n_total)
+    codec, stats = _select_numeric(s, dt, n_total)
+    return codec, stats, {}
 
 
 def _runs_fraction(neq: np.ndarray, n: int) -> float:
@@ -96,7 +102,7 @@ def _select_numeric(s: pa.Array, dt: int, n_total: int) -> tuple[str, dict]:
     return codec, stats
 
 
-def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict]:
+def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict, dict]:
     n = len(s)
     card = pc.count_distinct(s).as_py()
     if n > 1:
@@ -115,8 +121,10 @@ def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict]:
     uniq_bytes_est = (card / n) * total_bytes + 2.0 * card  # uniques ~ avg len
     per_value["dict"] = iw / 8 + uniq_bytes_est / n
     per_value["rle"] = (nruns / n) * (avg_len + 6.0)
-    # fsst trial: train on a slice of the sample bytes, measure ratio
+    # fsst trial: train on a slice of the sample bytes, measure ratio;
+    # the trained table is returned for reuse by the actual encoder
     fsst_ratio = None
+    artifacts: dict = {}
     if avg_len >= 4 and card > max(n // 64, 16):
         trial = col.data[:FSST_TRIAL_BYTES]
         table = fsst_mod.train(trial, generations=3)
@@ -126,6 +134,7 @@ def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict]:
         codes, _ = fsst_mod.encode_tokens(StrCol(offs, trial), table)
         fsst_ratio = len(codes) / max(len(trial), 1)
         per_value["fsst"] = fsst_ratio * avg_len + 2.0 + 1200.0 / max(n_total, 1)
+        artifacts["fsst_table"] = table
     codec = min(per_value, key=lambda k: (per_value[k], k))
     stats = {
         "n": n_total,
@@ -136,4 +145,4 @@ def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict]:
         "fsst_trial_ratio": round(fsst_ratio, 4) if fsst_ratio is not None else None,
         "est_bytes_per_value": {k: round(v, 3) for k, v in per_value.items()},
     }
-    return codec, stats
+    return codec, stats, artifacts
