@@ -26,10 +26,12 @@ import time
 
 # glibc heap-reuse knobs must be set before the interpreter's first
 # malloc to help THIS process; re-exec once if missing (workers inherit
-# via libgiddy_spark.__init__ + executorEnv below).
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+# via libgiddy_spark.__init__ + executorEnv below). Script mode only —
+# importing bench must never exec.
+if __name__ == "__main__" and os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
     os.environ["MALLOC_MMAP_THRESHOLD_"] = "1073741824"
     os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.environ["ARROW_DEFAULT_MEMORY_POOL"] = "system"
     os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,6 +55,7 @@ def make_spark(cpus: int):
         # heap-reuse for numpy kernels in python workers (see __init__)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .getOrCreate()
     )
 
@@ -70,6 +73,32 @@ def raw_uncompressed_bytes(path: str) -> int:
         for rg in range(md.num_row_groups):
             total += md.row_group(rg).total_byte_size
     return total
+
+
+def warm_workers(spark, cpus: int) -> None:
+    """Pre-fault each python worker's malloc arena once before timing.
+
+    This virtualized host faults-in fresh pages at ~10 MB/s (measured;
+    hypervisor steal), so a cold worker pays tens of seconds the first
+    time its arena grows. With MALLOC_TRIM_THRESHOLD_=-1 the arena is
+    kept, so one warm-up pass makes every later kernel allocation-free.
+    Standard bench warm-up — all timed runs start from warm workers,
+    at every parallelism level, so scaling numbers compare real work."""
+    import pyarrow as pa
+
+    def warm(it):
+        import numpy as np
+
+        for _ in it:
+            pass
+        a = np.empty(48_000_000, np.int64)  # ~384 MB arena high-water
+        a[::512] = 1
+        del a
+        yield pa.RecordBatch.from_pydict({"ok": pa.array([1])})
+
+    spark.range(cpus * 2, numPartitions=cpus * 2).mapInArrow(
+        warm, "ok long"
+    ).count()
 
 
 def ensure_webtext(spark, rows: int) -> str:
@@ -128,6 +157,7 @@ def run_bench(cpus: int) -> dict:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        warm_workers(spark, cpus)
         wt = ensure_webtext(spark, WEBTEXT_ROWS)
         jobs = {
             "webtext": (wt, "url", max(cpus, 16)),

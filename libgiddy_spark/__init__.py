@@ -25,3 +25,7 @@ import os as _os
 # clusters also pass via spark.executorEnv.* (see bench.py/make_spark).
 _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+# Arrow's default pool (mimalloc) mmaps/munmaps its own segments and
+# bypasses glibc entirely; route it through the system allocator so the
+# same retained heap serves Arrow buffers (read before pyarrow import).
+_os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")

@@ -117,6 +117,62 @@ def encode_group(
     return pa.table(out, schema=BLOCKS_SCHEMA)
 
 
+def make_encode_stream(
+    columns: list[str],
+    sort_key: str | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    block_rows: int = BLOCK_ROWS,
+):
+    """Streaming per-task encoder for ``mapInArrow`` over data that was
+    range-repartitioned and sorted by (part_id, salt, sort_key).
+
+    The range partitioner sends every row of a (part_id, salt) group to
+    one task and the JVM sort makes groups contiguous, so ONE shuffle
+    feeds the encoder (the groupBy/applyInArrow formulation would add a
+    second hash exchange on top of the range repartition). Groups are
+    detected by key change across the record-batch stream.
+    """
+
+    def encode_stream(batches):
+        buf: list[pa.RecordBatch] = []
+        cur: tuple[int, int] | None = None
+
+        def flush():
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            out = encode_group(
+                tbl.drop_columns([c for c in ("part_id", "salt") if c in tbl.column_names]),
+                cur[0],
+                cur[1],
+                columns=columns,
+                sort_key=None,  # already sorted JVM-side
+                forced_codecs=forced_codecs,
+                block_rows=block_rows,
+            )
+            yield from out.to_batches()
+
+        for batch in batches:
+            pids = batch.column("part_id").to_numpy(zero_copy_only=False)
+            salts = batch.column("salt").to_numpy(zero_copy_only=False)
+            keys = pids.astype(np.int64) * (1 << 20) + salts.astype(np.int64)
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]]
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if s == e:
+                    continue
+                key = (int(pids[s]), int(salts[s]))
+                if key != cur:
+                    yield from flush()
+                    buf.clear()
+                    cur = key
+                buf.append(batch.slice(s, e - s))
+        yield from flush()
+
+    return encode_stream
+
+
 def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Decode one (part_id, salt) group of block rows back to source rows.
 

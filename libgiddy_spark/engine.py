@@ -2,11 +2,13 @@
 
 Encode lifecycle::
 
-    load snapshot -> resume filter (manifest)       [driver plan]
-    -> per-chunk: skew stats -> salt -> range-repartition   [the one shuffle]
-    -> groupBy(part_id, salt).applyInArrow(encode)  [Arrow -> numpy kernels]
-    -> blocks parquet (temp dir + atomic rename)    [executors write]
-    -> manifest lines per partition                 [driver commit point]
+    load snapshot -> resume filter (manifest)            [driver plan]
+    -> per-chunk: skew stats -> salt
+    -> repartitionByRange(part_id, salt)                 [the ONE shuffle]
+    -> sortWithinPartitions(part_id, salt, sort_key)     [JVM sort]
+    -> mapInArrow(streaming group encoder)               [numpy kernels]
+    -> blocks parquet (temp dir + atomic rename)         [executors write]
+    -> manifest lines per partition                      [driver commit point]
 
 Everything driver-side touches only metadata (partition ids, byte
 stats, manifest lines) — no row data is ever collected.
@@ -22,7 +24,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .blocks import BLOCKS_DDL, decode_group, encode_group
+from .blocks import BLOCKS_DDL, decode_group, make_encode_stream
 from .manifest import Manifest
 from .skew import apply_salting, partition_byte_stats, salt_factors
 from .table_io import default_num_parts, load_source, snapshot_id_of
@@ -81,20 +83,9 @@ def encode_snapshot(
     sort_key = sort_key or key_col
     encoded_parts = 0
 
-    # NOTE: deliberately un-annotated — pyspark 4.1's applyInArrow hint
-    # inference raises (and then crashes on an unbound local) when only
-    # some parameters carry hints; un-annotated funcs take the safe path.
-    def encode_fn(key, table):
-        part_id, salt = int(key[0].as_py()), int(key[1].as_py())
-        return encode_group(
-            table.drop_columns([c for c in ("part_id", "salt") if c in table.column_names]),
-            part_id,
-            salt,
-            columns=data_cols,
-            sort_key=sort_key,
-            forced_codecs=forced_codecs,
-            block_rows=block_rows,
-        )
+    encode_fn = make_encode_stream(
+        data_cols, forced_codecs=forced_codecs, block_rows=block_rows
+    )
 
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
@@ -102,10 +93,13 @@ def encode_snapshot(
         stats = partition_byte_stats(sub, list(fat_columns))
         factors = salt_factors(stats, target_bytes=target_salt_bytes)
         nslices = max(sum(factors.values()), 1)
+        # the ONE wide op: range exchange on (part_id, salt); the JVM
+        # sort makes groups contiguous so mapInArrow streams them with
+        # no second shuffle (SURVEY.md §3.2)
         salted = apply_salting(sub, factors, key_col, shuffle_parts=nslices)
-        blocks = salted.groupBy("part_id", "salt").applyInArrow(
-            encode_fn, schema=BLOCKS_DDL
-        )
+        blocks = salted.sortWithinPartitions(
+            "part_id", "salt", sort_key
+        ).mapInArrow(encode_fn, schema=BLOCKS_DDL)
         tmp = os.path.join(blocks_root, f"_tmp_{chunk[0]}_{chunk[-1]}")
         final = os.path.join(blocks_root, f"chunk-{chunk[0]:05d}-{chunk[-1]:05d}")
         if os.path.exists(final):  # crashed between rename and manifest append
