@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Decode / verify job CLI (SURVEY.md §3.2 entry point B):
+
+    spark-submit --py-files engine.zip libgiddy_spark/jobs/decode_job.py \
+        --encoded /path/to/encoded --source /path/to/snapshot \
+        --key-col url [--out /path/to/decoded_parquet] [--verify]
+
+With --verify, joins decoded rows back to the source on the key column
+and asserts bit-identical columns (BASELINE.json:15 per-row invariant);
+exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--encoded", required=True)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--key-col", required=True)
+    ap.add_argument("--out", default=None, help="write decoded rows here")
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import decode_blocks, verify_roundtrip
+    from libgiddy_spark.jobs.encode_job import build_spark
+    from libgiddy_spark.table_io import list_parquet_files
+
+    spark = build_spark("libgiddy-spark-decode")
+    first_rel = list_parquet_files(args.source)[0][0]
+    schema_path = (
+        args.source
+        if os.path.isfile(args.source)
+        else os.path.join(args.source, first_rel)
+    )
+    schema = pq.read_schema(schema_path)
+    dec = decode_blocks(spark, args.encoded, schema)
+    if args.out:
+        dec.write.mode("overwrite").parquet(args.out)
+    if args.verify:
+        rep = verify_roundtrip(
+            spark.read.parquet(args.source), dec, args.key_col
+        )
+        print(json.dumps(rep))
+        if not rep["ok"]:
+            sys.exit(2)
+    elif not args.out:
+        print(json.dumps({"rows_decoded": dec.count()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Encode job CLI (SURVEY.md §7 M8) — ships via spark-submit:
+
+    zip -r engine.zip libgiddy_spark
+    spark-submit --py-files engine.zip libgiddy_spark/jobs/encode_job.py \
+        --source /path/to/snapshot --out /path/to/encoded \
+        --key-col url [--num-parts 4096] [--chunk-parts 64] \
+        [--target-salt-bytes 134217728] [--columns url,text,lang]
+
+Resumable: re-running with the same --out skips partitions whose
+manifest lines are committed (BASELINE.json north rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_spark(app: str, extra_conf: dict | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--key-col", required=True)
+    ap.add_argument("--num-parts", type=int, default=None)
+    ap.add_argument("--chunk-parts", type=int, default=64)
+    ap.add_argument("--target-salt-bytes", type=int, default=128 << 20)
+    ap.add_argument("--block-rows", type=int, default=65536)
+    ap.add_argument("--columns", default=None, help="comma-separated subset")
+    ap.add_argument("--fat-columns", default="html,text")
+    args = ap.parse_args()
+
+    from libgiddy_spark.engine import encode_snapshot
+
+    spark = build_spark("libgiddy-spark-encode")
+    summary = encode_snapshot(
+        spark,
+        args.source,
+        args.out,
+        key_col=args.key_col,
+        num_parts=args.num_parts,
+        chunk_parts=args.chunk_parts,
+        fat_columns=tuple(args.fat_columns.split(",")),
+        target_salt_bytes=args.target_salt_bytes,
+        block_rows=args.block_rows,
+        columns=args.columns.split(",") if args.columns else None,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
