@@ -77,6 +77,11 @@ def q_roundtrip_for_bitpack(spark, sf_dir):
                        "l_suppkey": "bitpack", "l_linenumber": "for"})
 
 
+def q_roundtrip_rpe_nchars(spark, sf_dir):
+    return _rt(spark, sf_dir, "documents", "doc_id", ["doc_id", "n_chars"],
+               forced={"n_chars": "rpe", "doc_id": "for"})
+
+
 def q_roundtrip_events(spark, sf_dir):
     return _rt(spark, sf_dir, "events", "event_id",
                ["event_id", "ts", "user_id", "event_type", "props"])
@@ -146,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_fsst_text": q_roundtrip_fsst_text,
         "roundtrip_delta_ts": q_roundtrip_delta_ts,
         "roundtrip_for_bitpack": q_roundtrip_for_bitpack,
+        "roundtrip_rpe_nchars": q_roundtrip_rpe_nchars,
         "roundtrip_events": q_roundtrip_events,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
@@ -163,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_delta_ts": "SELECT event_id, ts FROM events",
         "roundtrip_for_bitpack":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "roundtrip_rpe_nchars": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_events":
             "SELECT event_id, ts, user_id, event_type, props FROM events",
         "codec_stats_lang":

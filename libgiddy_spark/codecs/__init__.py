@@ -19,7 +19,14 @@ from .bitpack import pack_bits, unpack_bits
 from .dictionary import decode_dict, encode_dict_int, encode_dict_str
 from .fsst import SymbolTable, decode_fsst, encode_fsst
 from .intcodec import encode_bitpack, encode_delta, encode_for, encode_int_auto
-from .rle import decode_rle, encode_rle_int, encode_rle_str, run_starts_int
+from .rle import (
+    decode_rle,
+    decode_rpe,
+    encode_rle_int,
+    encode_rle_str,
+    encode_rpe_int,
+    run_starts_int,
+)
 from .strcol import StrCol, pack_strcol, unpack_strcol
 
 __all__ = [
@@ -188,6 +195,8 @@ def _encode_dense(
         return encode_dict_int(x, dt)
     if codec == "rle":
         return encode_rle_int(x, dt)
+    if codec == "rpe":
+        return encode_rpe_int(x, dt)
     raise ValueError(f"codec {codec!r} not valid for numeric type")
 
 
@@ -215,6 +224,8 @@ def decode_payload_numpy(payload: bytes):
         return decode_dict(secs, n, dt)
     if codec == H.RLE:
         return decode_rle(secs, n, dt)
+    if codec == H.RPE:
+        return decode_rpe(secs, n, dt)
     if codec == H.FSST:
         return decode_fsst(secs, n, dt)
     raise ValueError(f"unknown codec id {codec}")

@@ -35,6 +35,7 @@ DELTA = 3  # delta -> zigzag -> FoR -> bit-packing
 DICT = 4
 RLE = 5
 FSST = 6
+RPE = 7  # run-position encoding (values + run start positions)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -44,6 +45,7 @@ CODEC_NAMES = {
     DICT: "dict",
     RLE: "rle",
     FSST: "fsst",
+    RPE: "rpe",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

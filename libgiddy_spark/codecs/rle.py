@@ -53,6 +53,34 @@ def encode_rle_str(run_vals: StrCol, starts: np.ndarray, n: int, dt: int) -> byt
     return H.pack_block(H.RLE, dt, n, [params, pack_strcol(run_vals), packed_lens])
 
 
+def encode_rpe_int(x: np.ndarray, dt: int | None = None) -> bytes:
+    """Run-Position Encoding (SURVEY.md §2.1 #6, libgiddy
+    ``src/kernels/decompression/run_position_encoding.cuh``,
+    public-knowledge recall): runs stored as (value, start_pos);
+    ``out[i] = value[searchsorted_right(start_pos, i) - 1]``."""
+    dt = H.dt_of(x.dtype) if dt is None else dt
+    n = len(x)
+    starts = run_starts_int(x)
+    vals = x[starts]
+    pw = width_of(max(n - 1, 0))
+    packed_starts = pack_bits(starts.astype(np.uint64), pw)
+    nested = encode_int_auto(vals, dt)
+    params = struct.pack("<QB", len(starts), pw)
+    return H.pack_block(H.RPE, dt, n, [params, nested, packed_starts])
+
+
+def decode_rpe(sections, n: int, dt: int):
+    nruns, pw = struct.unpack_from("<QB", sections[0], 0)
+    starts = unpack_bits(sections[2], nruns, pw).astype(np.int64)
+    from . import decode_payload_numpy
+
+    vals = decode_payload_numpy(bytes(sections[1]))
+    if n == 0:
+        return vals[:0]
+    run_of = np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right") - 1
+    return vals[run_of]
+
+
 def decode_rle(sections, n: int, dt: int):
     nruns, lw = struct.unpack_from("<QB", sections[0], 0)
     lens = unpack_bits(sections[2], nruns, lw).astype(np.int64)

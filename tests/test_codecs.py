@@ -9,7 +9,7 @@ import pytest
 
 from tests.conftest import roundtrip
 
-INT_CODECS = ["raw", "for", "delta", "dict", "rle", "auto"]
+INT_CODECS = ["raw", "for", "delta", "dict", "rle", "rpe", "auto"]
 STR_CODECS = ["raw", "dict", "rle", "fsst"]
 
 I64 = np.iinfo(np.int64)
@@ -51,7 +51,7 @@ def test_bitpack_nonneg(rng):
         roundtrip(pa.array([-1, 2, 3]), "bitpack")
 
 
-@pytest.mark.parametrize("codec", ["raw", "for", "delta", "dict", "rle"])
+@pytest.mark.parametrize("codec", ["raw", "for", "delta", "dict", "rle", "rpe"])
 def test_int_nulls(codec):
     for arr in [
         pa.array([1, None, 3, None, -5] * 100),
