@@ -27,12 +27,10 @@ from pyspark.sql import functions as F
 from .blocks import BLOCKS_DDL, decode_group, make_encode_stream
 from .manifest import Manifest
 from .skew import apply_salting, partition_byte_stats, salt_factors
-from .table_io import default_num_parts, load_source, snapshot_id_of
+from .table_io import list_parquet_files, load_part_files, snapshot_id_of
 
 
 def _source_files(path: str) -> list[dict]:
-    from .table_io import list_parquet_files
-
     return [{"path": p, "bytes": s} for p, s in list_parquet_files(path)]
 
 
@@ -41,7 +39,6 @@ def encode_snapshot(
     source_path: str,
     out_dir: str,
     key_col: str,
-    num_parts: int | None = None,
     chunk_parts: int = 64,
     fat_columns: tuple[str, ...] = ("html", "text"),
     forced_codecs: dict[str, str] | None = None,
@@ -49,11 +46,19 @@ def encode_snapshot(
     target_salt_bytes: int = 128 << 20,
     block_rows: int = 65536,
     columns: list[str] | None = None,
+    min_slices: int | None = None,
+    **_compat,
 ) -> dict:
-    """Resumable chunked encode job. Returns a summary dict."""
+    """Resumable chunked encode job; partition = source data file.
+
+    Returns a summary dict. ``min_slices`` guarantees a minimum salt
+    fan-out per chunk so even a single giant file parallelizes across
+    the cluster (skew.py does the splitting).
+    """
     t_start = time.time()
     snapshot_id = snapshot_id_of(source_path)
-    num_parts = num_parts or default_num_parts(spark, source_path)
+    files = list_parquet_files(source_path)  # part_id = index into this
+    num_parts = len(files)
     manifest = Manifest(out_dir)
     manifest.write_snapshot_header(
         snapshot_id, source_path, _source_files(source_path), num_parts
@@ -76,11 +81,14 @@ def encode_snapshot(
             if any(p not in done for p in parts_in_dir):
                 shutil.rmtree(full, ignore_errors=True)
     pending = [p for p in range(num_parts) if p not in done]
-    df = load_source(spark, source_path, key_col, num_parts)
-    if columns:
-        df = df.select(*columns, "part_id")
-    data_cols = [c for c in df.columns if c != "part_id"]
+    import pyarrow.parquet as pq
+
+    from .table_io import abs_file_of
+
+    schema = pq.read_schema(abs_file_of(source_path, files[0][0]))
+    data_cols = [c for c in (columns or schema.names)]
     sort_key = sort_key or key_col
+    min_slices = min_slices or spark.sparkContext.defaultParallelism
     encoded_parts = 0
 
     encode_fn = make_encode_stream(
@@ -89,9 +97,14 @@ def encode_snapshot(
 
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
-        sub = df.filter(F.col("part_id").isin([int(c) for c in chunk]))
+        # read ONLY this chunk's files (no table re-scan per chunk)
+        sub = load_part_files(spark, source_path, [(p, files[p][0]) for p in chunk])
+        if columns:
+            sub = sub.select(*columns, "part_id")
         stats = partition_byte_stats(sub, list(fat_columns))
-        factors = salt_factors(stats, target_bytes=target_salt_bytes)
+        total_b = max(sum(stats.values()), 1)
+        eff_target = min(target_salt_bytes, max(total_b // min_slices, 1))
+        factors = salt_factors(stats, target_bytes=eff_target)
         nslices = max(sum(factors.values()), 1)
         # the ONE wide op: range exchange on (part_id, salt); the JVM
         # sort makes groups contiguous so mapInArrow streams them with

@@ -39,8 +39,10 @@ def main() -> None:
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key-col", required=True)
-    ap.add_argument("--num-parts", type=int, default=None)
-    ap.add_argument("--chunk-parts", type=int, default=64)
+    ap.add_argument("--chunk-parts", type=int, default=64,
+                    help="source files per resumable chunk")
+    ap.add_argument("--min-slices", type=int, default=None,
+                    help="minimum salt fan-out per chunk (default: cluster parallelism)")
     ap.add_argument("--target-salt-bytes", type=int, default=128 << 20)
     ap.add_argument("--block-rows", type=int, default=65536)
     ap.add_argument("--columns", default=None, help="comma-separated subset")
@@ -55,8 +57,8 @@ def main() -> None:
         args.source,
         args.out,
         key_col=args.key_col,
-        num_parts=args.num_parts,
         chunk_parts=args.chunk_parts,
+        min_slices=args.min_slices,
         fat_columns=tuple(args.fat_columns.split(",")),
         target_salt_bytes=args.target_salt_bytes,
         block_rows=args.block_rows,

@@ -2,11 +2,14 @@
 
 Production target is an Iceberg catalog read; this sandbox has no
 Iceberg runtime jar (SURVEY.md §1.2), so the sandbox backend is a
-partitioned-parquet directory + our own JSON snapshot manifest — the
-engine only ever addresses data through (snapshot_id, part_id), so the
-backends are interchangeable. ``part_id`` is content-derived
-(xxhash64 of a key column, mod num_parts): stable across runs and file
-layouts, which is what makes checkpoint/resume sound.
+parquet directory (or single file) + our own JSON snapshot manifest.
+
+**Partition = source data file** — the Iceberg notion of an encode
+unit. A resume chunk reads just its own files; a content-hash part_id
+would force a full re-scan of the table per chunk (O(chunks x table)
+read amplification at 100 TB, visible as unprunable `isin` filters in
+the physical plan). Intra-file size and skew are handled downstream by
+salting (skew.py), so a single giant file still fans out across tasks.
 """
 
 from __future__ import annotations
@@ -39,25 +42,30 @@ def snapshot_id_of(path: str) -> str:
     return f"snap-{h}"
 
 
-def load_source(
+def abs_file_of(path: str, rel: str) -> str:
+    return path if os.path.isfile(path) else os.path.join(path, rel)
+
+
+def load_part_files(
     spark: SparkSession,
     path: str,
-    key_col: str,
-    num_parts: int,
+    part_files: list[tuple[int, str]],
 ) -> DataFrame:
-    """Read the source table and assign the stable content-derived part_id.
-
-    The scan stays fully Catalyst-planned (parquet pushdown/pruning work
-    as usual); lineage comes from ``_metadata.file_path`` when needed.
-    """
-    df = spark.read.parquet(path)
+    """Read ONLY the given (part_id, relative file) subset and tag each
+    row with its part_id via ``_metadata.file_path`` (tiny literal map,
+    no UDF, no extra scan)."""
+    paths = [abs_file_of(path, rel) for _pid, rel in part_files]
+    df = spark.read.parquet(*paths)
+    keymap: dict[str, int] = {}
+    for (pid, _rel), p in zip(part_files, paths):
+        ap = os.path.abspath(p)
+        # Hadoop renders local paths as file:/abs or file://abs variants
+        for key in (f"file:{ap}", f"file://{ap}", ap):
+            keymap[key] = pid
+    kv = []
+    for k, pid in keymap.items():
+        kv += [F.lit(k), F.lit(pid)]
+    m = F.create_map(*kv)
     return df.withColumn(
-        "part_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts)).cast("int")
+        "part_id", F.coalesce(m[F.col("_metadata.file_path")], F.lit(-1)).cast("int")
     )
-
-
-def default_num_parts(spark: SparkSession, path: str, target_part_bytes: int = 64 << 20) -> int:
-    total = sum(s for _p, s in list_parquet_files(path))
-    # parquet is ~3-4x smaller than in-memory; aim each part under the target
-    est_raw = total * 4
-    return max(1, min(1 << 16, (est_raw + target_part_bytes - 1) // target_part_bytes))

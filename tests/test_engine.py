@@ -20,12 +20,19 @@ from libgiddy_spark.manifest import Manifest
 SF = "/root/testdata/sf0.001"
 
 
+def _multi_file_copy(spark, src: str, dest: str, n_files: int) -> str:
+    """Partition = source file now, so resume tests need multi-file input."""
+    if not os.path.exists(dest):
+        spark.read.parquet(src).repartition(n_files).write.parquet(dest)
+    return dest
+
+
 def test_documents_roundtrip(spark, tmp_path):
-    src = f"{SF}/documents.parquet"
+    src = _multi_file_copy(spark, f"{SF}/documents.parquet", str(tmp_path / "src4"), 4)
     out = str(tmp_path / "docs")
-    s = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=4, chunk_parts=2)
+    s = encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=2)
     assert s["encoded_parts"] == 4
-    dec = decode_blocks(spark, out, pq.read_schema(src))
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
     rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
     assert rep["ok"], rep
 
@@ -33,24 +40,24 @@ def test_documents_roundtrip(spark, tmp_path):
 def test_events_roundtrip_with_timestamps(spark, tmp_path):
     src = f"{SF}/events.parquet"
     out = str(tmp_path / "ev")
-    encode_snapshot(spark, src, out, key_col="event_id", num_parts=4)
+    encode_snapshot(spark, src, out, key_col="event_id")
     dec = decode_blocks(spark, out, pq.read_schema(src))
     rep = verify_roundtrip(spark.read.parquet(src), dec, "event_id")
     assert rep["ok"], rep
 
 
 def test_resume_skips_done_parts(spark, tmp_path):
-    src = f"{SF}/documents.parquet"
+    src = _multi_file_copy(spark, f"{SF}/documents.parquet", str(tmp_path / "src6"), 6)
     out = str(tmp_path / "resume")
-    encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=3)
-    s2 = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=3)
+    encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=3)
+    s2 = encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=3)
     assert s2["encoded_parts"] == 0 and s2["skipped_done"] == 6
 
 
 def test_resume_after_crash_between_chunks(spark, tmp_path, monkeypatch):
     """Kill after the first chunk's manifest commit; rerun must re-encode
     only the remaining parts and the result must still verify."""
-    src = f"{SF}/documents.parquet"
+    src = _multi_file_copy(spark, f"{SF}/documents.parquet", str(tmp_path / "src6c"), 6)
     out = str(tmp_path / "crash")
     calls = {"n": 0}
     orig = Manifest.mark_done
@@ -63,16 +70,16 @@ def test_resume_after_crash_between_chunks(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(Manifest, "mark_done", dying_mark_done)
     with pytest.raises(RuntimeError):
-        encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=2)
+        encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=2)
     monkeypatch.setattr(Manifest, "mark_done", orig)
 
     chunk0 = os.path.join(out, "blocks", "chunk-00000-00001")
     mtime0 = os.path.getmtime(chunk0)
-    s = encode_snapshot(spark, src, out, key_col="doc_id", num_parts=6, chunk_parts=2)
+    s = encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=2)
     assert s["skipped_done"] == 2  # first chunk's parts committed
     assert s["encoded_parts"] == 4  # the rest re-encoded (incl. orphan chunk)
     assert os.path.getmtime(chunk0) == mtime0  # chunk 0 untouched
-    dec = decode_blocks(spark, out, pq.read_schema(src))
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
     rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
     assert rep["ok"], rep
     # no duplicate rows from orphan block dirs
@@ -95,7 +102,7 @@ def test_skew_salting_splits_heavy_partition(spark, tmp_path):
     pq.write_table(tbl, src)
     out = str(tmp_path / "skewout")
     encode_snapshot(
-        spark, src, out, key_col="url", num_parts=2, chunk_parts=2,
+        spark, src, out, key_col="url", chunk_parts=2,
         fat_columns=("text",), target_salt_bytes=1 << 20,
     )
     bdf = blocks_df(spark, out)
@@ -117,7 +124,7 @@ def test_webtext_roundtrip(spark, tmp_path):
     src = str(tmp_path / "webtext")
     write_webtext(spark, src, 3000)
     out = str(tmp_path / "wtout")
-    encode_snapshot(spark, src, out, key_col="url", num_parts=4)
+    encode_snapshot(spark, src, out, key_col="url")
     dec = decode_blocks(spark, out, pq.read_schema_of_first(src) if hasattr(pq, "read_schema_of_first") else _first_schema(src))
     srcdf = spark.read.parquet(src)
     rep = verify_roundtrip(srcdf, dec, "url")
