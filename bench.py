@@ -111,13 +111,15 @@ def ensure_webtext(spark, rows: int) -> str:
     path = f"/tmp/lgs_webtext_{rows}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        from libgiddy_spark.webtext import write_webtext
+        from libgiddy_spark.webtext import webtext_df
 
-        write_webtext(spark, path, rows)
+        # 12 files -> 12 parts: granular enough for any parallelism here
+        webtext_df(spark, rows, slices=12).write.mode("overwrite").parquet(path)
     return path
 
 
-def bench_table(spark, src: str, key_col: str, num_parts: int) -> dict:
+def bench_table(spark, src: str, key_col: str, num_parts: int,
+                min_slices: int | None = None) -> dict:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
@@ -127,8 +129,8 @@ def bench_table(spark, src: str, key_col: str, num_parts: int) -> dict:
     out = f"/tmp/lgs_bench_{abs(hash((src, num_parts)))}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    encode_snapshot(spark, src, out, key_col=key_col, num_parts=num_parts,
-                    chunk_parts=num_parts)
+    encode_snapshot(spark, src, out, key_col=key_col,
+                    chunk_parts=max(num_parts, 64), min_slices=min_slices)
     t_enc = time.time() - t0
     first = list_parquet_files(src)[0][0]
     schema = pq.read_schema(src if os.path.isfile(src) else os.path.join(src, first))
@@ -164,17 +166,22 @@ def run_bench(cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         warm_workers(spark, cpus)
-        wt = ensure_webtext(spark, WEBTEXT_ROWS)
+        rows = int(os.environ.get("SPARK_GRAFT_WEBTEXT_ROWS", str(WEBTEXT_ROWS)))
+        wt = ensure_webtext(spark, rows)
+        min_slices = int(os.environ.get("SPARK_GRAFT_MIN_SLICES", "0")) or None
         jobs = {
             "webtext": (wt, "url", max(cpus, 16)),
             "lineitem": (f"{SF_DIR}/lineitem.parquet", "l_orderkey", max(cpus, 16)),
             "events": (f"{SF_DIR}/events.parquet", "event_id", max(cpus // 2, 8)),
             "documents": (f"{SF_DIR}/documents.parquet", "doc_id", max(cpus // 2, 8)),
         }
+        only = os.environ.get("SPARK_GRAFT_TABLES")
+        if only:
+            jobs = {k: v for k, v in jobs.items() if k in only.split(",")}
         queries: dict[str, float] = {}
         detail: dict[str, dict] = {}
         for name, (src, key, nparts) in jobs.items():
-            r = bench_table(spark, src, key, nparts)
+            r = bench_table(spark, src, key, nparts, min_slices=min_slices)
             queries[name] = round(r["encode_sec"] + r["decode_sec"], 3)
             detail[name] = r
         return {"queries": queries, "detail": detail}
@@ -245,10 +252,19 @@ def run_scaling() -> None:
     base = cap[0][1]
     results = {}
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # the scaling job is the north-rule webtext encode+decode, sized so
+    # compute dominates fixed per-job overhead, with slicing FIXED across
+    # parallelism levels (identical work, only the core count changes)
+    scale_rows = os.environ.get("SPARK_GRAFT_SCALE_ROWS", "1000000")
+    scale_env = {
+        "SPARK_GRAFT_TABLES": "webtext",
+        "SPARK_GRAFT_WEBTEXT_ROWS": scale_rows,
+        "SPARK_GRAFT_MIN_SLICES": "64",
+    }
     for cpus in (lo, hi):
         runs = []
         for _ in range(reps):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
                 capture_output=True, text=True, env=env, cwd=REPO,
@@ -262,8 +278,10 @@ def run_scaling() -> None:
     md = [
         "# BENCH — measured results (see BASELINE.md for protocol)",
         "",
-        f"Input: {SF_DIR} + synthetic webtext ({WEBTEXT_ROWS} rows, seed 42);",
-        f"median of {reps} repetitions per parallelism level.",
+        f"Scaling job: the north-rule webtext table, {scale_rows} rows "
+        "(seed 42, deterministic), full encode->blocks->decode round "
+        "trip, slicing fixed at 64 salted groups for BOTH parallelism "
+        f"levels; median of {reps} repetitions per level.",
         "",
         "## Host capacity probe (why the N/4N pair is "
         f"local[{lo}]/local[{hi}])",

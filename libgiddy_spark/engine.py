@@ -118,7 +118,9 @@ def encode_snapshot(
         if os.path.exists(final):  # crashed between rename and manifest append
             shutil.rmtree(final)
         t0 = time.time()
-        blocks.write.mode("overwrite").parquet(tmp)
+        # payloads are already codec-compressed; parquet-level snappy on
+        # top costs CPU both directions for ~no size win
+        blocks.write.mode("overwrite").option("compression", "none").parquet(tmp)
         with open(os.path.join(tmp, "_PARTS"), "w") as f:
             f.write(" ".join(str(int(p)) for p in chunk))
         os.rename(tmp, final)  # atomic commit of the chunk's data
