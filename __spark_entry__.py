@@ -82,6 +82,20 @@ def q_roundtrip_rpe_nchars(spark, sf_dir):
                forced={"n_chars": "rpe", "doc_id": "for"})
 
 
+def q_roundtrip_model_ts(spark, sf_dir):
+    """Function-model codec (per-segment fixed-point linear + residuals)
+    on the near-linear events timestamp column."""
+    return _rt(spark, sf_dir, "events", "event_id", ["event_id", "ts"],
+               forced={"ts": "model", "event_id": "dzb"})
+
+
+def q_roundtrip_bitmap_linenumber(spark, sf_dir):
+    """Incidence-bitmaps codec on the low-cardinality l_linenumber."""
+    return _rt(spark, sf_dir, "lineitem", "l_orderkey",
+               ["l_orderkey", "l_linenumber"],
+               forced={"l_linenumber": "bitmap", "l_orderkey": "for"})
+
+
 def q_roundtrip_events(spark, sf_dir):
     return _rt(spark, sf_dir, "events", "event_id",
                ["event_id", "ts", "user_id", "event_type", "props"])
@@ -152,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_delta_ts": q_roundtrip_delta_ts,
         "roundtrip_for_bitpack": q_roundtrip_for_bitpack,
         "roundtrip_rpe_nchars": q_roundtrip_rpe_nchars,
+        "roundtrip_model_ts": q_roundtrip_model_ts,
+        "roundtrip_bitmap_linenumber": q_roundtrip_bitmap_linenumber,
         "roundtrip_events": q_roundtrip_events,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
@@ -170,6 +186,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_for_bitpack":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "roundtrip_rpe_nchars": "SELECT doc_id, n_chars FROM documents",
+        "roundtrip_model_ts": "SELECT event_id, ts FROM events",
+        "roundtrip_bitmap_linenumber":
+            "SELECT l_orderkey, l_linenumber FROM lineitem",
         "roundtrip_events":
             "SELECT event_id, ts, user_id, event_type, props FROM events",
         "codec_stats_lang":

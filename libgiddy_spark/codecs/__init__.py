@@ -197,6 +197,18 @@ def _encode_dense(
         return encode_rle_int(x, dt)
     if codec == "rpe":
         return encode_rpe_int(x, dt)
+    if codec == "dzb":
+        from .extra import encode_dzb
+
+        return encode_dzb(x, dt)
+    if codec == "bitmap":
+        from .extra import encode_bitmap
+
+        return encode_bitmap(x, dt)
+    if codec == "model":
+        from .extra import encode_model
+
+        return encode_model(x, dt)
     raise ValueError(f"codec {codec!r} not valid for numeric type")
 
 
@@ -228,6 +240,14 @@ def decode_payload_numpy(payload: bytes):
         return decode_rpe(secs, n, dt)
     if codec == H.FSST:
         return decode_fsst(secs, n, dt)
+    from . import extra
+
+    if codec == extra.DZB:
+        return extra.decode_dzb(secs, n, dt)
+    if codec == extra.BITMAP:
+        return extra.decode_bitmap(secs, n, dt)
+    if codec == extra.MODEL:
+        return extra.decode_model(secs, n, dt)
     raise ValueError(f"unknown codec id {codec}")
 
 
