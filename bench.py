@@ -54,6 +54,11 @@ def make_spark(cpus: int):
         .appName("libgiddy-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
+        # blocks shuffle data is codec-compressed and expands ~3x inside
+        # the Python decode kernels: AQE's default 64 MB advisory target
+        # coalesces 64 decode groups into ~10 tasks and starves the
+        # CPU-heavy stage — size by post-expansion work instead
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
@@ -291,27 +296,37 @@ def run_scaling() -> None:
         "SPARK_GRAFT_WEBTEXT_ROWS": scale_rows,
         "SPARK_GRAFT_MIN_SLICES": "64",
     }
-    for cpus in (lo, hi):
-        runs = []
-        for _ in range(reps):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                capture_output=True, text=True, env=env, cwd=REPO,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            runs.append(json.loads(line))
-        med = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
-        results[cpus] = med
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-    eff = (t_lo / t_hi) / 4.0
+    # interleave the two levels per repetition: host capacity drifts on
+    # a minutes scale, so each efficiency sample must compare runs from
+    # the SAME window
+    def one(cpus):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    windows = []
+    for _ in range(reps):
+        r_hi = one(hi)
+        r_lo = one(lo)
+        windows.append((r_lo, r_hi, (r_lo["value"] / r_hi["value"]) / 4.0))
+    windows.sort(key=lambda w: w[2])
+    r_lo_m, r_hi_m, eff = windows[len(windows) // 2]  # median-efficiency window
+    results = {lo: r_lo_m, hi: r_hi_m}
+    t_lo, t_hi = r_lo_m["value"], r_hi_m["value"]
     md = [
         "# BENCH — measured results (see BASELINE.md for protocol)",
         "",
         f"Scaling job: the north-rule webtext table, {scale_rows} rows "
         "(seed 42, deterministic), full encode->blocks->decode round "
         "trip, slicing fixed at 64 salted groups for BOTH parallelism "
-        f"levels; median of {reps} repetitions per level.",
+        f"levels. {reps} interleaved (4N, N) windows — host capacity "
+        "drifts on a minutes scale, so each efficiency sample compares "
+        "runs from the same window; the median-efficiency window is "
+        "reported. All windows: "
+        + ", ".join(f"{w[2]:.3f}" for w in windows) + ".",
         "",
         "## Host capacity probe (why the N/4N pair is "
         f"local[{lo}]/local[{hi}])",
