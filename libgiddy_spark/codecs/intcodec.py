@@ -68,7 +68,9 @@ def _from_u64(u: np.ndarray, dt: int) -> np.ndarray:
     return u.view(np.int64).astype(np_dt, copy=False)
 
 
-def choose_width(offsets_u64: np.ndarray, pos_bits: int) -> tuple[int, int]:
+def choose_width(
+    offsets_u64: np.ndarray, pos_bits: int, bl: np.ndarray | None = None
+) -> tuple[int, int]:
     """Pick the packed width minimizing total bits incl. patched exceptions.
 
     Returns (width, exc_width). Exception cost = pos_bits + exc_width per
@@ -77,7 +79,8 @@ def choose_width(offsets_u64: np.ndarray, pos_bits: int) -> tuple[int, int]:
     n = len(offsets_u64)
     if n == 0:
         return 0, 0
-    bl = bit_lengths(offsets_u64)
+    if bl is None:
+        bl = bit_lengths(offsets_u64)
     max_w = int(bl.max())
     counts = np.bincount(bl, minlength=max_w + 1)
     # exceptions(w) = # values with bit_length > w
@@ -125,8 +128,8 @@ def _for_sections(
     seg_sizes = np.diff(np.append(starts, n))
     offsets = u - np.repeat(refs_u, seg_sizes)  # modular; always "non-negative"
     pos_bits = width_of(max(n - 1, 0))
-    w, exc_w = choose_width(offsets, pos_bits)
     bl = bit_lengths(offsets)
+    w, exc_w = choose_width(offsets, pos_bits, bl=bl)
     exc_mask = bl > w
     exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
     exc_val = offsets[exc_mask]
