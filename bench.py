@@ -113,7 +113,9 @@ def warm_workers(spark, cpus: int) -> None:
 
 
 def ensure_webtext(spark, rows: int) -> str:
-    path = f"/tmp/lgs_webtext_{rows}"
+    from libgiddy_spark.webtext import GEN_VERSION
+
+    path = f"/tmp/lgs_webtext_v{GEN_VERSION}_{rows}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from libgiddy_spark.webtext import webtext_df

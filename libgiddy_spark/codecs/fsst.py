@@ -288,7 +288,7 @@ def decode_stream(codes: np.ndarray, table: SymbolTable):
     return out, offs
 
 
-def train(sample: np.ndarray, generations: int = 4) -> SymbolTable:
+def train(sample: np.ndarray, generations: int = 5) -> SymbolTable:
     """Train a symbol table on a byte sample (uint8 array), BPE-style.
 
     Deterministic: ties broken by (gain desc, value asc, len asc).
@@ -329,11 +329,24 @@ def train(sample: np.ndarray, generations: int = 4) -> SymbolTable:
         counts = np.diff(np.append(starts, len(vs)))
         uv, ul = vs[starts], ls[starts]
         gain = counts * ul  # count * length
-        top = np.lexsort((ul, uv, -gain.astype(np.int64)))[:MAX_SYMBOLS]
-        syms = []
-        for row in top:
+        order = np.lexsort((ul, uv, -gain.astype(np.int64)))
+        # cap symbols per 2-byte prefix at 3: bounds the encoder's probe
+        # passes (k_max<=3) for ~no ratio cost — freed slots refill with
+        # the next candidates. The cap lives in the TABLE, so the naive
+        # sequential encoder sees identical symbols (stream identity).
+        syms: list[bytes] = []
+        bucket: dict[bytes, int] = {}
+        for row in order:
             val, ln = int(uv[row]), int(ul[row])
-            syms.append(val.to_bytes(8, "little")[:ln])
+            s = val.to_bytes(8, "little")[:ln]
+            if ln >= 2:
+                b = bucket.get(s[:2], 0)
+                if b >= 3:
+                    continue
+                bucket[s[:2]] = b + 1
+            syms.append(s)
+            if len(syms) >= MAX_SYMBOLS:
+                break
         table = SymbolTable(syms)
     return table
 

@@ -23,6 +23,7 @@ LANGS = np.array(["en", "zh", "es", "de", "fr"])
 LANG_CDF = np.cumsum([0.60, 0.12, 0.10, 0.09, 0.09])
 
 _U64 = np.uint64
+GEN_VERSION = 2  # bump when generated content changes (cache-busting)
 
 
 def _mix(ids: np.ndarray, stream: int) -> np.ndarray:
@@ -71,16 +72,18 @@ def _vocab(seed: int = 42):
     return _VOCAB_CACHE[seed]
 
 
-# Zipf(s=1.2) over host ranks
-_ZIPF_CDF = None
+# Zipf CDFs (hosts s=1.2; word vocab s=1.05 per FIXTURES.md §1 —
+# realistic web text is Zipfian, which is what makes FSST-style symbol
+# tables effective on it)
+_ZIPF_CDFS: dict[tuple[int, float], np.ndarray] = {}
 
 
-def _zipf_cdf() -> np.ndarray:
-    global _ZIPF_CDF
-    if _ZIPF_CDF is None:
-        p = 1.0 / np.arange(1, N_HOSTS + 1) ** 1.2
-        _ZIPF_CDF = np.cumsum(p / p.sum())
-    return _ZIPF_CDF
+def _zipf_cdf(n: int = N_HOSTS, s: float = 1.2) -> np.ndarray:
+    key = (n, s)
+    if key not in _ZIPF_CDFS:
+        p = 1.0 / np.arange(1, n + 1) ** s
+        _ZIPF_CDFS[key] = np.cumsum(p / p.sum())
+    return _ZIPF_CDFS[key]
 
 
 def _concat_rows(pieces: list[tuple[np.ndarray, np.ndarray]]) -> StrCol:
@@ -145,8 +148,11 @@ def _words_text(ids: np.ndarray, n_words: np.ndarray, vocab: StrCol, stream: int
     pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(
         np.cumsum(n_words) - n_words, n_words
     )
-    widx = (_mix(row_rep * _U64(1315423911) + pos_in_row.astype(np.uint64), stream)
-            % _U64(len(vocab))).astype(np.int64)
+    u01 = _mix(row_rep * _U64(1315423911) + pos_in_row.astype(np.uint64), stream
+               ).astype(np.float64) / 2**64
+    widx = np.minimum(
+        np.searchsorted(_zipf_cdf(len(vocab), 1.05), u01), len(vocab) - 1
+    ).astype(np.int64)
     flat = vocab.take(widx)  # each vocab entry carries its trailing space
     word_lens = flat.lengths()
     row_bytes = np.zeros(len(ids), dtype=np.int64)
