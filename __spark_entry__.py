@@ -157,6 +157,137 @@ def q_compression_metrics(spark, sf_dir):
     )
 
 
+# --- training-data pipeline operators (dedup / similarity / text) --------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_token_stats(spark, sf_dir):
+    from libgiddy_spark.pipeline import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from libgiddy_spark.pipeline import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    from libgiddy_spark.pipeline import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from libgiddy_spark.pipeline import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from libgiddy_spark.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    from libgiddy_spark.pipeline import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_lsh_buckets(spark, sf_dir):
+    from libgiddy_spark.pipeline import lsh_buckets, minhash_signatures
+
+    return lsh_buckets(minhash_signatures(_docs(spark, sf_dir)))
+
+
+def q_dedup_near_pairs(spark, sf_dir):
+    from libgiddy_spark.pipeline import dedup_near_pair_stats
+
+    return dedup_near_pair_stats(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from libgiddy_spark.pipeline import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from libgiddy_spark.pipeline import topk_neighbors
+
+    return topk_neighbors(_embs(spark, sf_dir))
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    from libgiddy_spark.pipeline import lsh_ann_buckets
+
+    return lsh_ann_buckets(_embs(spark, sf_dir))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from libgiddy_spark.pipeline import embedding_near_dup_stats
+
+    return embedding_near_dup_stats(_embs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column multimodal plumbing over synthetic webtext html
+    (decode stubbed; schema/batching real). Rows-only check — the
+    webtext table is not among the DuckDB views."""
+    from libgiddy_spark.pipeline.multimodal import extract_features
+    from libgiddy_spark.webtext import webtext_df
+
+    wt = webtext_df(spark, 2000, slices=4)
+    feats = extract_features(wt, key="url", binary_col="html")
+    return feats.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("sha256_prefix").alias("n_distinct_payloads"),
+        F.sum(F.element_at("feature", 1).cast("double")).alias("sum_len_feature"),
+    )
+
+
+_WORDS_CTE = (
+    "WITH dw AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t)"
+)
+
+_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"MIN(md5(w || '#{i}')) AS mh{i}" for i in range(8))
+    + " FROM dw GROUP BY doc_id"
+)
+
+_QEMB_CTE = (
+    "WITH q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE)*100) AS BIGINT)) AS q FROM embeddings)"
+)
+
+_QDOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) AS BIGINT)"
+
+
+def _lsh_oracle_sql() -> str:
+    from libgiddy_spark.pipeline.similarity import plane_signs
+
+    planes = plane_signs(64, 8)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(str(v) for v in p) + "]::BIGINT[]"
+        dot = _QDOT.format(a="q.q", b=lit)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return _QEMB_CTE + f" SELECT vec_id, {' + '.join(terms)} AS bucket FROM q"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
@@ -172,6 +303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_buckets": q_dedup_lsh_buckets,
+        "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -200,4 +344,92 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (ORDER BY event_id)) AS BIGINT) AS gap_us "
             "FROM events)",
         # compression_metrics: engine-internal; rows-only check
+        # multimodal_features: webtext not in DuckDB views; rows-only
+        "text_token_stats":
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(string_split(text,' ')) AS n_tokens, "
+            "len(list_distinct(string_split(text,' '))) AS n_uniq_tokens, "
+            "length(replace(text,' ','')) AS n_nonspace_chars FROM documents",
+        "text_quality":
+            "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
+            "FLOOR(1000 * (len(list_filter(string_split(text,' '), "
+            "w -> w IN ('a','the','and','of','to','in','is','on'))) "
+            "/ len(string_split(text,' ')))) AS stop_ratio_x1000, "
+            "FLOOR(1000 * (len(list_distinct(string_split(text,' '))) "
+            "/ len(string_split(text,' ')))) AS ttr_x1000, "
+            "FLOOR(1000 * (length(replace(text,' ','')) "
+            "/ len(string_split(text,' ')))) AS mean_token_len_x1000 "
+            "FROM documents",
+        "text_lang_id":
+            "SELECT doc_id, "
+            "length(regexp_replace(text,'[ -~]','','g')) AS n_non_ascii, "
+            "length(text) AS n_chars, "
+            "CASE WHEN length(regexp_replace(text,'[ -~]','','g'))*10 "
+            "> length(text)*3 THEN 'zh' ELSE 'latin' END AS lang_pred "
+            "FROM documents",
+        "text_fingerprint":
+            "SELECT doc_id, md5(lower(text)) AS fp_exact, "
+            "md5(array_to_string(list_sort(list_distinct("
+            "string_split(lower(text),' '))),' ')) AS fp_bag FROM documents",
+        "dedup_exact":
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, "
+            "COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
+        "dedup_minhash_sig": f"{_WORDS_CTE} {_SIG_SQL}",
+        "dedup_lsh_buckets":
+            f"{_WORDS_CTE}, sig AS ({_SIG_SQL}) "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, md5(mh{2*b}||mh{2*b+1}) AS bucket FROM sig"
+                for b in range(4)
+            ),
+        "dedup_near_pairs":
+            f"{_WORDS_CTE}, sig AS ({_SIG_SQL}), "
+            "bands AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, md5(mh{2*b}||mh{2*b+1}) AS bucket FROM sig"
+                for b in range(4)
+            )
+            + "), cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
+            "FROM bands a JOIN bands b ON a.band=b.band AND a.bucket=b.bucket "
+            "AND a.doc_id < b.doc_id), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id), "
+            "inter AS (SELECT c.ka, c.kb, COUNT(*) AS n_inter FROM cand c "
+            "JOIN dw wa ON wa.doc_id=c.ka JOIN dw wb ON wb.doc_id=c.kb "
+            "AND wb.w=wa.w GROUP BY c.ka, c.kb), "
+            "jac AS (SELECT i.ka, i.kb, FLOOR(1000 * (n_inter / "
+            "(sa.n + sb.n - n_inter))) AS jac_x1000 FROM inter i "
+            "JOIN sizes sa ON sa.doc_id=i.ka JOIN sizes sb ON sb.doc_id=i.kb) "
+            "SELECT COUNT(*) AS n_candidate_pairs, "
+            "SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS n_near_dups, "
+            "MAX(jac_x1000) AS max_jac_x1000, MIN(jac_x1000) AS min_jac_x1000 "
+            "FROM jac",
+        "dedup_simhash":
+            f"{_WORDS_CTE}, agg AS (SELECT doc_id, "
+            + ", ".join(
+                f"SUM(CASE WHEN substr(md5(w),{i+1},1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+                for i in range(16)
+            )
+            + " FROM dw GROUP BY doc_id) SELECT doc_id, "
+            + " + ".join(
+                f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+            )
+            + " AS simhash FROM agg",
+        "embedding_topk":
+            f"{_QEMB_CTE}, qs AS (SELECT vec_id AS query_id, q AS qq FROM q "
+            "WHERE vec_id < 5), scored AS (SELECT query_id, a.vec_id AS "
+            "neighbor_id, " + _QDOT.format(a="qq", b="a.q") + " AS qdot "
+            "FROM q a, qs WHERE a.vec_id <> query_id), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
+            "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
+        "embedding_lsh_buckets": _lsh_oracle_sql(),
+        "embedding_near_dups":
+            f"{_QEMB_CTE}, norms AS (SELECT vec_id, q, "
+            + _QDOT.format(a="q", b="q")
+            + " AS n2 FROM q), pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb, "
+            + _QDOT.format(a="a.q", b="b.q")
+            + " AS dot, a.n2 AS na, b.n2 AS nb FROM norms a JOIN norms b "
+            "ON a.vec_id < b.vec_id), hits AS (SELECT * FROM pairs WHERE "
+            "dot > 0 AND dot*dot*10000 >= 6400*na*nb) "
+            "SELECT COUNT(*) AS n_near_dups, MIN(ka) AS min_ka, "
+            "MAX(kb) AS max_kb FROM hits",
     }

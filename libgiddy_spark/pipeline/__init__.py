@@ -1,0 +1,26 @@
+"""Training-data pipeline operators over the webtext/documents tables:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis (language-ID, quality scoring, token stats, fingerprints) and
+multimodal binary-column plumbing.
+
+Design rules:
+- Spark-first: built-in `pyspark.sql.functions` only (JVM-side,
+  whole-stage codegen); the sole Python kernel is the multimodal
+  feature extractor (Arrow-batched mapInArrow), mirroring the codec
+  layer's vectorized-UDF discipline.
+- Oracle-replicable semantics: hashing uses md5 (identical hex output
+  in Spark and DuckDB) and similarity uses integer-quantized dot
+  products, so every operator's results are bit-comparable against an
+  ANSI-SQL oracle — the same correctness gate the codecs get.
+"""
+
+from .dedup import (  # noqa: F401
+    dedup_near_pair_stats,
+    exact_dedup,
+    lsh_buckets,
+    minhash_signatures,
+    simhash,
+)
+from .similarity import embedding_near_dup_stats, lsh_ann_buckets, topk_neighbors  # noqa: F401
+from .text import fingerprints, lang_id, quality_score, token_stats  # noqa: F401

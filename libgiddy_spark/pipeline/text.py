@@ -1,0 +1,72 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID,
+document fingerprints. All built-in Spark SQL functions (JVM-side);
+floating ratios are floor-scaled to integers so results are
+bit-comparable against the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+
+
+def _words(text_col):
+    return F.split(text_col, " ")
+
+
+def token_stats(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Whitespace token counting + basic shape stats per document."""
+    w = _words(F.col(text))
+    return df.select(
+        F.col(key),
+        F.length(text).alias("n_chars"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
+        F.length(F.regexp_replace(F.col(text), " ", "")).alias("n_nonspace_chars"),
+    )
+
+
+def quality_score(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Heuristic quality components (stopword ratio, type-token ratio,
+    mean token length), floor-scaled x1000 for exact comparability."""
+    w = _words(F.col(text))
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(w))
+    mean_len = F.length(F.regexp_replace(F.col(text), " ", "")) / n_tok
+    stop_ratio = n_stop / n_tok
+    ttr = n_uniq / n_tok
+    score = (
+        F.floor(1000 * stop_ratio).alias("stop_ratio_x1000"),
+        F.floor(1000 * ttr).alias("ttr_x1000"),
+        F.floor(1000 * mean_len).alias("mean_token_len_x1000"),
+    )
+    return df.select(F.col(key), n_tok.alias("n_tokens"), *score)
+
+
+def lang_id(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Charset-heuristic language ID: CJK-dominant text -> 'zh', else
+    'latin'. (Printable-ASCII stripping — '[ -~]' means the same thing
+    to Java regex and RE2, which is what makes the oracle exact.)"""
+    non_ascii = F.length(F.regexp_replace(F.col(text), "[ -~]", ""))
+    total = F.length(text)
+    pred = F.when(non_ascii * 10 > total * 3, F.lit("zh")).otherwise(F.lit("latin"))
+    return df.select(
+        F.col(key),
+        non_ascii.alias("n_non_ascii"),
+        total.alias("n_chars"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Document fingerprints: exact (md5 of lowered text) and bag-of-
+    words (md5 of the sorted distinct token list) — the order-
+    insensitive near-dup key."""
+    w = F.array_sort(F.array_distinct(_words(F.lower(F.col(text)))))
+    return df.select(
+        F.col(key),
+        F.md5(F.lower(F.col(text))).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", w)).alias("fp_bag"),
+    )

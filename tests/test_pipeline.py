@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing (driver-prompt first-class components)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_partitions_rows(spark, docs):
+    from libgiddy_spark.pipeline import exact_dedup
+
+    d = exact_dedup(docs)
+    total = d.agg(F.sum("n_dups")).collect()[0][0]
+    assert total == docs.count()
+    assert d.filter(F.col("keeper").isNull()).count() == 0
+
+
+def test_minhash_similar_docs_collide(spark):
+    """Two near-identical docs must share most signature rows; an
+    unrelated doc must not."""
+    from libgiddy_spark.pipeline import lsh_buckets, minhash_signatures
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the bank"),
+        (3, "completely different words about spark columnar compression"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df)
+    bands = lsh_buckets(sig)
+    j = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .collect()
+    )
+    pairs = {(r[0], r[1]) for r in j}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_reflects_similarity(spark):
+    from libgiddy_spark.pipeline import simhash
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(s[1], s[2]) < ham(s[1], s[3])
+
+
+def test_topk_neighbors_self_excluded_and_ranked(spark):
+    from libgiddy_spark.pipeline import topk_neighbors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = topk_neighbors(emb, k=3, n_queries=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert all(r["neighbor_id"] != q for r in rows)
+        dots = [r["qdot"] for r in rows]
+        assert dots == sorted(dots, reverse=True)
+
+
+def test_lsh_ann_buckets_group_similar(spark):
+    """A vector and its slightly-perturbed copy land in the same
+    bucket; buckets are well-formed ints."""
+    from libgiddy_spark.pipeline import lsh_ann_buckets
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=64).astype("float32")
+    rows = [
+        (1, (base).tolist()),
+        (2, (base + rng.normal(scale=0.01, size=64).astype("float32")).tolist()),
+        (3, (-base).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r["vec_id"]: r["bucket"] for r in lsh_ann_buckets(df).collect()}
+    assert b[1] == b[2]
+    assert b[1] != b[3]
+    assert all(0 <= v < 256 for v in b.values())
+
+
+def test_embedding_near_dup_stats(spark):
+    from libgiddy_spark.pipeline import embedding_near_dup_stats
+
+    rows = [
+        (1, [1.0] * 64), (2, [1.0] * 63 + [0.9]), (3, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_near_dup_stats(df).collect()[0]
+    assert r["n_near_dups"] == 1  # only (1,2)
+
+
+def test_lang_id_on_webtext(spark, tmp_path):
+    """Charset heuristic recovers zh on the realistic webtext fixture."""
+    from libgiddy_spark.pipeline import lang_id
+    from libgiddy_spark.webtext import webtext_df
+
+    wt = webtext_df(spark, 3000, slices=2).select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    )
+    pred = lang_id(wt).join(wt.select("doc_id", "lang"), "doc_id")
+    agg = (
+        pred.groupBy("lang", "lang_pred").count().collect()
+    )
+    stats = {(r["lang"], r["lang_pred"]): r["count"] for r in agg}
+    zh_right = stats.get(("zh", "zh"), 0)
+    zh_wrong = stats.get(("zh", "latin"), 0)
+    assert zh_right > zh_wrong * 5  # zh overwhelmingly detected
+    assert stats.get(("en", "zh"), 0) == 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    """Binary column -> fixed-width feature vectors via mapInArrow;
+    schema, batch shape and determinism are real (decode stubbed)."""
+    from libgiddy_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_features,
+    )
+    from libgiddy_spark.webtext import webtext_df
+
+    wt = webtext_df(spark, 1000, slices=2)
+    feats = extract_features(wt, key="url", binary_col="html")
+    rows = feats.collect()
+    assert len(rows) == 1000
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows[:20])
+    assert all(r["n_bytes"] > 0 for r in rows[:20])
+    # feature[0] is the byte length — cross-check against n_bytes
+    assert all(abs(r["feature"][0] - r["n_bytes"]) < 1 for r in rows[:20])
+    # determinism across runs
+    again = {r["key"]: r["sha256_prefix"] for r in feats.collect()}
+    assert all(again[r["key"]] == r["sha256_prefix"] for r in rows[:50])
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...")
+
+
+def test_quality_and_token_stats_consistency(spark, docs):
+    from libgiddy_spark.pipeline import quality_score, token_stats
+
+    ts = token_stats(docs)
+    qs = quality_score(docs).drop("n_tokens")
+    j = ts.join(qs, "doc_id")
+    bad = j.filter(
+        (F.col("n_uniq_tokens") > F.col("n_tokens"))
+        | (F.col("ttr_x1000") > 1000)
+        | (F.col("stop_ratio_x1000") > 1000)
+    ).count()
+    assert bad == 0
