@@ -115,21 +115,43 @@ def q_codec_stats_lang(spark, sf_dir):
 
 def q_delta_stats_events(spark, sf_dir):
     """Timestamp delta distribution (the delta-codec cost-model input),
-    computed from decoded rows."""
+    computed from decoded rows.
+
+    Scale shape: NO global window. Gaps between consecutive event_ids are
+    computed with a window PARTITIONED by a coarse event_id bucket (fully
+    parallel), and the bucket-boundary gaps are recovered from a tiny
+    per-bucket summary (n/4096 rows) — the per-partition-lag + boundary-
+    merge pattern that survives a 100x scale-up."""
     from pyspark.sql.window import Window
 
+    bucket_rows = 4096
     dec = _rt(spark, sf_dir, "events", "event_id", ["event_id", "ts"],
               forced={"ts": "delta", "event_id": "delta"})
-    w = Window.orderBy("event_id")
-    d = dec.withColumn(
-        "gap_us",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))),
+    d = dec.select(
+        F.col("event_id"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("event_id") / bucket_rows).alias("bkt"),
     )
-    return d.agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.min("gap_us").alias("min_gap_us"),
-        F.max("gap_us").alias("max_gap_us"),
-        F.sum("gap_us").alias("sum_gap_us"),
+    w = Window.partitionBy("bkt").orderBy("event_id")
+    gaps = d.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    per_bkt = gaps.groupBy("bkt").agg(
+        F.count("gap_us").alias("cnt_g"),
+        F.min("gap_us").alias("min_g"),
+        F.max("gap_us").alias("max_g"),
+        F.sum("gap_us").alias("sum_g"),
+        F.min_by("us", "event_id").alias("first_us"),
+        F.max_by("us", "event_id").alias("last_us"),
+    )
+    wb = Window.orderBy("bkt")  # tiny: one row per bucket
+    bnd = per_bkt.withColumn(
+        "b_gap", F.col("first_us") - F.lag("last_us").over(wb)
+    )
+    return bnd.agg(
+        (F.sum("cnt_g") + F.count("b_gap")).alias("n_gaps"),
+        F.least(F.min("min_g"), F.min("b_gap")).alias("min_gap_us"),
+        F.greatest(F.max("max_g"), F.max("b_gap")).alias("max_gap_us"),
+        (F.coalesce(F.sum("sum_g"), F.lit(0)) +
+         F.coalesce(F.sum("b_gap"), F.lit(0))).alias("sum_gap_us"),
     )
 
 
@@ -340,7 +362,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang",
         "delta_stats_events":
             "SELECT COUNT(gap_us) AS n_gaps, MIN(gap_us) AS min_gap_us, "
-            "MAX(gap_us) AS max_gap_us, SUM(gap_us) AS sum_gap_us FROM ("
+            "MAX(gap_us) AS max_gap_us, CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us FROM ("
             "SELECT CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (ORDER BY event_id)) AS BIGINT) AS gap_us "
             "FROM events)",
         # compression_metrics: engine-internal; rows-only check
@@ -352,13 +374,13 @@ def oracle_sql() -> dict[str, str]:
             "length(replace(text,' ','')) AS n_nonspace_chars FROM documents",
         "text_quality":
             "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
-            "FLOOR(1000 * (len(list_filter(string_split(text,' '), "
-            "w -> w IN ('a','the','and','of','to','in','is','on'))) "
-            "/ len(string_split(text,' ')))) AS stop_ratio_x1000, "
-            "FLOOR(1000 * (len(list_distinct(string_split(text,' '))) "
-            "/ len(string_split(text,' ')))) AS ttr_x1000, "
-            "FLOOR(1000 * (length(replace(text,' ','')) "
-            "/ len(string_split(text,' ')))) AS mean_token_len_x1000 "
+            "(1000 * len(list_filter(string_split(text,' '), "
+            "w -> w IN ('a','the','and','of','to','in','is','on')))) "
+            "// len(string_split(text,' ')) AS stop_ratio_x1000, "
+            "(1000 * len(list_distinct(string_split(text,' ')))) "
+            "// len(string_split(text,' ')) AS ttr_x1000, "
+            "(1000 * length(replace(text,' ',''))) "
+            "// len(string_split(text,' ')) AS mean_token_len_x1000 "
             "FROM documents",
         "text_lang_id":
             "SELECT doc_id, "
@@ -395,11 +417,11 @@ def oracle_sql() -> dict[str, str]:
             "inter AS (SELECT c.ka, c.kb, COUNT(*) AS n_inter FROM cand c "
             "JOIN dw wa ON wa.doc_id=c.ka JOIN dw wb ON wb.doc_id=c.kb "
             "AND wb.w=wa.w GROUP BY c.ka, c.kb), "
-            "jac AS (SELECT i.ka, i.kb, FLOOR(1000 * (n_inter / "
-            "(sa.n + sb.n - n_inter))) AS jac_x1000 FROM inter i "
+            "jac AS (SELECT i.ka, i.kb, (1000 * n_inter) // "
+            "(sa.n + sb.n - n_inter) AS jac_x1000 FROM inter i "
             "JOIN sizes sa ON sa.doc_id=i.ka JOIN sizes sb ON sb.doc_id=i.kb) "
             "SELECT COUNT(*) AS n_candidate_pairs, "
-            "SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS n_near_dups, "
+            "CAST(SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
             "MAX(jac_x1000) AS max_jac_x1000, MIN(jac_x1000) AS min_jac_x1000 "
             "FROM jac",
         "dedup_simhash":

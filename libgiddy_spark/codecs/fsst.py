@@ -149,7 +149,7 @@ def _window_fn(data: np.ndarray):
 def encode_tokens(col: StrCol, table: SymbolTable):
     """Greedy longest-match tokenize every string, lanes in lock-step.
 
-    One lane per <=4 KiB chunk of each string (see ENC_CHUNK); all lanes
+    One lane per <=ENC_CHUNK (1 KiB) chunk of each string; all lanes
     advance together, each iteration doing whole-array gathers — the CPU
     transposition of a GPU warp. Token order is recovered by direct
     scatter (a lane's k-th token comes from iteration k), no sort.

@@ -130,7 +130,7 @@ def naive_fsst_encode(items: list[bytes], table: SymbolTable) -> bytes:
     token stream is byte-identical, not merely no larger.
 
     Codec spec shared with the vectorized encoder: symbols never span
-    4 KiB chunk boundaries within a string (fsst.ENC_CHUNK)."""
+    fsst.ENC_CHUNK (1 KiB) chunk boundaries within a string."""
     from .fsst import ENC_CHUNK
 
     by_len: dict[int, dict[bytes, int]] = {}

@@ -240,11 +240,18 @@ def roundtrip_df(
     The driver-contract queries use this to prove end-to-end round-trip
     identity per scheme against a DuckDB oracle reading the raw source.
     """
+    import atexit
     import tempfile
 
     import pyarrow.parquet as pq
 
-    out = out_dir or tempfile.mkdtemp(prefix="lgs_rt_")
+    out = out_dir
+    if out is None:
+        # the returned DataFrame reads these blocks lazily, so the dir
+        # must outlive this call — reclaim it at process exit instead
+        # of leaking a full encoded copy of the table under /tmp
+        out = tempfile.mkdtemp(prefix="lgs_rt_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     if os.path.exists(os.path.join(out, "manifest.jsonl")):
         shutil.rmtree(out)
     schema = pq.read_schema(source_path)

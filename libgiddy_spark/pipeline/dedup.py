@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .text import idiv
+
 N_HASHES = 8
 BAND_SIZE = 2
 
@@ -96,7 +98,8 @@ def dedup_near_pair_stats(
         inter.join(sizes.withColumnRenamed(key, "ka").withColumnRenamed("n", "na"), "ka")
         .join(sizes.withColumnRenamed(key, "kb").withColumnRenamed("n", "nb"), "kb")
         .withColumn("jac_x1000",
-                    F.floor(1000 * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+                    idiv(1000 * F.col("n_inter"),
+                         F.col("na") + F.col("nb") - F.col("n_inter")))
     )
     return jac.agg(
         F.count("*").alias("n_candidate_pairs"),

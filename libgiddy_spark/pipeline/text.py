@@ -11,6 +11,16 @@ from pyspark.sql import DataFrame, functions as F
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
 
 
+def idiv(num, den):
+    """Exact integer floor division for non-negative longs.
+
+    ``num - pmod(num, den)`` is exactly divisible by ``den``, and dividing
+    two exact integers whose quotient is an integer < 2^53 is exact in
+    IEEE doubles — so this matches DuckDB's ``//`` bit-for-bit, with no
+    float-rounding hazard (unlike ``floor(1000 * a / b)``)."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
 def _words(text_col):
     return F.split(text_col, " ")
 
@@ -31,16 +41,14 @@ def quality_score(df: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     """Heuristic quality components (stopword ratio, type-token ratio,
     mean token length), floor-scaled x1000 for exact comparability."""
     w = _words(F.col(text))
-    n_tok = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    n_uniq = F.size(F.array_distinct(w))
-    mean_len = F.length(F.regexp_replace(F.col(text), " ", "")) / n_tok
-    stop_ratio = n_stop / n_tok
-    ttr = n_uniq / n_tok
+    n_tok = F.size(w).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("long")
+    n_uniq = F.size(F.array_distinct(w)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col(text), " ", "")).cast("long")
     score = (
-        F.floor(1000 * stop_ratio).alias("stop_ratio_x1000"),
-        F.floor(1000 * ttr).alias("ttr_x1000"),
-        F.floor(1000 * mean_len).alias("mean_token_len_x1000"),
+        idiv(1000 * n_stop, n_tok).alias("stop_ratio_x1000"),
+        idiv(1000 * n_uniq, n_tok).alias("ttr_x1000"),
+        idiv(1000 * n_nonspace, n_tok).alias("mean_token_len_x1000"),
     )
     return df.select(F.col(key), n_tok.alias("n_tokens"), *score)
 

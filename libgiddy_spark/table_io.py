@@ -46,6 +46,28 @@ def abs_file_of(path: str, rel: str) -> str:
     return path if os.path.isfile(path) else os.path.join(path, rel)
 
 
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def _norm_uri(p: str) -> str:
+    """Scheme-independent URI normal form shared by the Python side and
+    the Spark expression below: drop the scheme (file:, hdfs:, s3a:, ...)
+    and collapse leading slashes to one — so ``file:/x``, ``file:///x``
+    and ``/x`` all normalize identically, and the same rule applied to
+    both sides keeps HDFS/S3 paths matching too."""
+    import re
+
+    p = re.sub(_SCHEME_RE, "", p)
+    if p.startswith("/"):
+        p = "/" + p.lstrip("/")
+    return p
+
+
+def _norm_uri_col(c):
+    stripped = F.regexp_replace(c, _SCHEME_RE, "")
+    return F.regexp_replace(stripped, r"^/+", "/")
+
+
 def load_part_files(
     spark: SparkSession,
     path: str,
@@ -53,19 +75,29 @@ def load_part_files(
 ) -> DataFrame:
     """Read ONLY the given (part_id, relative file) subset and tag each
     row with its part_id via ``_metadata.file_path`` (tiny literal map,
-    no UDF, no extra scan)."""
+    no UDF, no extra scan).
+
+    Both the map keys and the metadata path go through the SAME URI
+    normalization, and an unmapped file raises inside the plan instead
+    of silently collapsing rows into a part_id=-1 mega-group (which
+    would mean one giant task + wrong manifest keys + broken resume)."""
     paths = [abs_file_of(path, rel) for _pid, rel in part_files]
     df = spark.read.parquet(*paths)
-    keymap: dict[str, int] = {}
-    for (pid, _rel), p in zip(part_files, paths):
-        ap = os.path.abspath(p)
-        # Hadoop renders local paths as file:/abs or file://abs variants
-        for key in (f"file:{ap}", f"file://{ap}", ap):
-            keymap[key] = pid
     kv = []
-    for k, pid in keymap.items():
-        kv += [F.lit(k), F.lit(pid)]
+    for (pid, _rel), p in zip(part_files, paths):
+        ap = os.path.abspath(p) if "://" not in p else p
+        kv += [F.lit(_norm_uri(ap)), F.lit(pid)]
     m = F.create_map(*kv)
+    mapped = m[_norm_uri_col(F.col("_metadata.file_path"))]
     return df.withColumn(
-        "part_id", F.coalesce(m[F.col("_metadata.file_path")], F.lit(-1)).cast("int")
+        "part_id",
+        F.when(
+            mapped.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("libgiddy_spark: source file not in part map: "),
+                    F.col("_metadata.file_path"),
+                )
+            ).cast("int"),
+        ).otherwise(mapped.cast("int")),
     )
