@@ -89,6 +89,15 @@ def q_roundtrip_model_ts(spark, sf_dir):
                forced={"ts": "model", "event_id": "dzb"})
 
 
+def q_roundtrip_dzbv_keys(spark, sf_dir):
+    """DZB-variable codec (streamvbyte-style byte suppression,
+    SURVEY.md §2.1 #9) on mixed-magnitude lineitem key columns."""
+    return _rt(spark, sf_dir, "lineitem", "l_orderkey",
+               ["l_orderkey", "l_partkey", "l_suppkey"],
+               forced={"l_orderkey": "dzbv", "l_partkey": "dzbv",
+                       "l_suppkey": "dzbv"})
+
+
 def q_roundtrip_bitmap_linenumber(spark, sf_dir):
     """Incidence-bitmaps codec on the low-cardinality l_linenumber."""
     return _rt(spark, sf_dir, "lineitem", "l_orderkey",
@@ -320,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_for_bitpack": q_roundtrip_for_bitpack,
         "roundtrip_rpe_nchars": q_roundtrip_rpe_nchars,
         "roundtrip_model_ts": q_roundtrip_model_ts,
+        "roundtrip_dzbv_keys": q_roundtrip_dzbv_keys,
         "roundtrip_bitmap_linenumber": q_roundtrip_bitmap_linenumber,
         "roundtrip_events": q_roundtrip_events,
         "codec_stats_lang": q_codec_stats_lang,
@@ -353,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "roundtrip_rpe_nchars": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_model_ts": "SELECT event_id, ts FROM events",
+        "roundtrip_dzbv_keys":
+            "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem",
         "roundtrip_bitmap_linenumber":
             "SELECT l_orderkey, l_linenumber FROM lineitem",
         "roundtrip_events":

@@ -201,6 +201,10 @@ def _encode_dense(
         from .extra import encode_dzb
 
         return encode_dzb(x, dt)
+    if codec == "dzbv":
+        from .extra import encode_dzbv
+
+        return encode_dzbv(x, dt)
     if codec == "bitmap":
         from .extra import encode_bitmap
 
@@ -244,6 +248,8 @@ def decode_payload_numpy(payload: bytes):
 
     if codec == extra.DZB:
         return extra.decode_dzb(secs, n, dt)
+    if codec == extra.DZBV:
+        return extra.decode_dzbv(secs, n, dt)
     if codec == extra.BITMAP:
         return extra.decode_bitmap(secs, n, dt)
     if codec == extra.MODEL:

@@ -1,12 +1,16 @@
-"""Remaining libgiddy scheme-family codecs (SURVEY.md §2.1 #7, #8, #10).
+"""Remaining libgiddy scheme-family codecs (SURVEY.md §2.1 #7–#10).
 
-Not selector-preferred (dominated by FoR/bit-pack/dict on our data —
-exactly why SURVEY marked them optional) but implemented for full parity
-with the reference's decompression-scheme inventory:
+Not selector-preferred by default (dominated by FoR/bit-pack/dict on
+our data — exactly why SURVEY marked them optional) but implemented for
+full parity with the reference's decompression-scheme inventory:
 
 - **DZB-fixed** (#8, ``discard_zero_bytes_fixed.cuh`` recall): keep only
   the ``k`` low-order bytes of each element, ``k`` fixed per block;
   decode = zero-extend. Byte-granular cousin of bit-packing.
+- **DZB-variable** (#9, ``discard_zero_bytes_variable.cuh`` recall,
+  streamvbyte-style): a 2-bit length code per element selecting 1/2/4/8
+  significant little-endian bytes + the concatenated significant bytes;
+  decode = prefix-sum over lengths + per-length-class strided gathers.
 - **Incidence bitmaps** (#10, ``incidence_bitmaps.cuh`` recall): one
   bitmap per distinct value; ``out[i] = v`` where bitmap_v bit i is set.
 - **Model** (#7, ``model.cuh`` recall): per-segment function model
@@ -32,8 +36,9 @@ FP_SHIFT = 20
 DZB = 8
 BITMAP = 9
 MODEL = 10
-H.CODEC_NAMES.update({DZB: "dzb", BITMAP: "bitmap", MODEL: "model"})
-H.CODEC_IDS.update({"dzb": DZB, "bitmap": BITMAP, "model": MODEL})
+DZBV = 11
+H.CODEC_NAMES.update({DZB: "dzb", BITMAP: "bitmap", MODEL: "model", DZBV: "dzbv"})
+H.CODEC_IDS.update({"dzb": DZB, "bitmap": BITMAP, "model": MODEL, "dzbv": DZBV})
 
 
 def encode_dzb(x: np.ndarray, dt: int | None = None) -> bytes:
@@ -55,6 +60,73 @@ def decode_dzb(sections, n: int, dt: int) -> np.ndarray:
     mat = np.zeros((n, 8), dtype=np.uint8)
     if k:
         mat[:, :k] = np.frombuffer(sections[1], np.uint8).reshape(n, k)
+    return _from_u64(mat.reshape(-1).view(np.uint64), dt)
+
+
+_DZBV_LENS = np.array([1, 2, 4, 8], dtype=np.int64)
+_U64_1 = np.uint64(1)
+
+
+def dzbv_codes(u: np.ndarray) -> np.ndarray:
+    """2-bit length-class code per u64 element: 0->1B, 1->2B, 2->4B, 3->8B."""
+    return (
+        (u >= _U64_1 << np.uint64(8)).astype(np.uint8)
+        + (u >= _U64_1 << np.uint64(16)).astype(np.uint8)
+        + (u >= _U64_1 << np.uint64(32)).astype(np.uint8)
+    )
+
+
+def encode_dzbv(x: np.ndarray, dt: int | None = None) -> bytes:
+    """DZB-variable (SURVEY.md §2.1 #9): per-element 2-bit byte-count
+    code (packed 4/byte) + concatenated significant bytes."""
+    dt = H.dt_of(x.dtype) if dt is None else dt
+    n = len(x)
+    u = np.ascontiguousarray(_as_u64(x))
+    if n == 0:
+        return H.pack_block(DZBV, dt, 0, [b"", b""])
+    code = dzbv_codes(u)
+    lens = _DZBV_LENS[code]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    body = np.empty(int(ends[-1]), dtype=np.uint8)
+    mat = u.view(np.uint8).reshape(n, 8)
+    for cv, length in enumerate(_DZBV_LENS):
+        sel = np.flatnonzero(code == cv)
+        if len(sel) == 0:
+            continue
+        base = starts[sel]
+        for k in range(int(length)):
+            body[base + k] = mat[sel, k]
+    pad = (-n) % 4
+    c = np.concatenate([code, np.zeros(pad, np.uint8)]).reshape(-1, 4)
+    packed = (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)).astype(
+        np.uint8
+    )
+    return H.pack_block(DZBV, dt, n, [packed.tobytes(), body.tobytes()])
+
+
+def decode_dzbv(sections, n: int, dt: int) -> np.ndarray:
+    if n == 0:
+        return _from_u64(np.zeros(0, np.uint64), dt)
+    packed = np.frombuffer(sections[0], np.uint8)
+    code = np.empty((len(packed), 4), dtype=np.uint8)
+    code[:, 0] = packed & 3
+    code[:, 1] = (packed >> 2) & 3
+    code[:, 2] = (packed >> 4) & 3
+    code[:, 3] = (packed >> 6) & 3
+    code = code.reshape(-1)[:n]
+    lens = _DZBV_LENS[code]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    body = np.frombuffer(sections[1], np.uint8)
+    mat = np.zeros((n, 8), dtype=np.uint8)
+    for cv, length in enumerate(_DZBV_LENS):
+        sel = np.flatnonzero(code == cv)
+        if len(sel) == 0:
+            continue
+        base = starts[sel]
+        for k in range(int(length)):
+            mat[sel, k] = body[base + k]
     return _from_u64(mat.reshape(-1).view(np.uint64), dt)
 
 

@@ -82,6 +82,19 @@ def naive_delta_bytes(x: np.ndarray) -> int:
     return 1 + 8 * nseg + (n * w + 7) // 8
 
 
+def naive_dzbv_bytes(x: np.ndarray) -> int:
+    """Textbook DZB-variable: 2-bit code per element (packed 4/byte) +
+    the minimal 1/2/4/8 significant little-endian bytes per element."""
+    n = len(x)
+    if n == 0:
+        return 1
+    total = (n + 3) // 4
+    for v in _u(x):
+        b = max((_bits(int(v)) + 7) // 8, 1)
+        total += next(L for L in (1, 2, 4, 8) if L >= b)
+    return total
+
+
 def naive_dict_int_bytes(x: np.ndarray) -> int:
     """Dictionary of 8B values + indices bit-packed at bits(card-1)."""
     n = len(x)

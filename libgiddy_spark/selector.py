@@ -89,6 +89,11 @@ def _select_numeric(s: pa.Array, dt: int, n_total: int) -> tuple[str, dict]:
     vw = min(per_value["for"] * 8, 64)
     per_value["rle"] = (nruns / n) * (vw + 32) / 8
     per_value["raw"] = x.dtype.itemsize
+    # dzbv: 2-bit code + 1/2/4/8 significant bytes per value
+    from .codecs.extra import _DZBV_LENS, dzbv_codes
+    from .codecs.intcodec import _as_u64
+
+    per_value["dzbv"] = float(_DZBV_LENS[dzbv_codes(_as_u64(x))].mean()) + 0.25
     codec = min(per_value, key=lambda k: (per_value[k], k))
     stats = {
         "n": n_total,

@@ -9,7 +9,34 @@ import pytest
 
 from tests.conftest import roundtrip
 
-EXTRA = ["dzb", "bitmap", "model"]
+EXTRA = ["dzb", "bitmap", "model", "dzbv"]
+
+
+def test_dzbv_roundtrips(rng):
+    for x in [
+        rng.integers(0, 2**20, 3000),
+        np.array([], np.int64),
+        np.zeros(10, np.int64),
+        rng.integers(-5, 5, 100),  # negatives -> full 8-byte class
+        np.array([2**62, 0, 255, 256, 65535, 65536, 2**32 - 1, 2**32], np.int64),
+        rng.integers(0, 255, 500),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], np.int64),
+    ]:
+        roundtrip(pa.array(np.asarray(x, np.int64)), "dzbv")
+
+
+def test_dzbv_size_bound(rng):
+    from libgiddy_spark.codecs import encode_array
+    from libgiddy_spark.codecs import reference as ref
+
+    for x in [
+        rng.integers(0, 200, 20_000),       # all 1-byte class
+        rng.integers(0, 2**30, 20_000),     # mixed 2/4-byte classes
+        rng.integers(-(2**60), 2**60, 5_000),
+    ]:
+        x = np.asarray(x, np.int64)
+        _, meta = encode_array(pa.array(x), "dzbv")
+        assert meta["enc_bytes"] <= ref.naive_dzbv_bytes(x) + ref.HEADER_ALLOWANCE
 
 
 def test_dzb_roundtrips(rng):

@@ -15,7 +15,7 @@ I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.lists(I64, max_size=300), st.sampled_from(["raw", "for", "delta", "dict", "rle"]))
+@given(st.lists(I64, max_size=300), st.sampled_from(["raw", "for", "delta", "dict", "rle", "dzbv"]))
 def test_int_roundtrip_any(xs, codec):
     x = np.array(xs, dtype=np.int64)
     meta, _ = roundtrip(pa.array(x), codec)
@@ -23,12 +23,14 @@ def test_int_roundtrip_any(xs, codec):
         assert meta["enc_bytes"] <= ref.naive_for_bytes(x) + ref.HEADER_ALLOWANCE
     if codec == "delta" and len(x):
         assert meta["enc_bytes"] <= ref.naive_delta_bytes(x) + ref.HEADER_ALLOWANCE
+    if codec == "dzbv" and len(x):
+        assert meta["enc_bytes"] <= ref.naive_dzbv_bytes(x) + ref.HEADER_ALLOWANCE
 
 
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(st.one_of(st.none(), I64), max_size=200),
-    st.sampled_from(["raw", "for", "delta", "dict", "rle"]),
+    st.sampled_from(["raw", "for", "delta", "dict", "rle", "dzbv"]),
 )
 def test_int_nullable_roundtrip_any(xs, codec):
     roundtrip(pa.array(xs, type=pa.int64()), codec)
