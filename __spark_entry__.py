@@ -247,6 +247,16 @@ def q_dedup_near_pairs(spark, sf_dir):
     return dedup_near_pair_stats(_docs(spark, sf_dir))
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """Terminal dedup: exact-dedup -> LSH-verified near-dup graph ->
+    connected components -> keeper per component -> cleaned corpus."""
+    from libgiddy_spark.pipeline import dedup_corpus
+
+    return dedup_corpus(_docs(spark, sf_dir)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from libgiddy_spark.pipeline import simhash
 
@@ -288,15 +298,43 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-_WORDS_CTE = (
-    "WITH dw AS (SELECT DISTINCT doc_id, w FROM "
-    "(SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t)"
-)
+def _dw_sql(src: str = "documents") -> str:
+    return (
+        "SELECT DISTINCT doc_id, w FROM "
+        f"(SELECT doc_id, unnest(string_split(text,' ')) AS w FROM {src}) t"
+    )
+
+
+_WORDS_CTE = f"WITH dw AS ({_dw_sql()})"
 
 _SIG_SQL = (
     "SELECT doc_id, "
     + ", ".join(f"MIN(md5(w || '#{i}')) AS mh{i}" for i in range(8))
     + " FROM dw GROUP BY doc_id"
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b}||mh{2*b+1}) AS bucket FROM sig"
+    for b in range(4)
+)
+
+# capped candidates + exact-Jaccard verification (mirrors
+# pipeline.dedup.lsh_candidate_pairs + jaccard_on_pairs, incl. the
+# MAX_BUCKET=256 degenerate-bucket guard)
+_JAC_CTES = (
+    "bsz AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY band, bucket), "
+    "bok AS (SELECT b.doc_id, b.band, b.bucket FROM bands b JOIN bsz s "
+    "ON s.band=b.band AND s.bucket=b.bucket WHERE s.n <= 256), "
+    "cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
+    "FROM bok a JOIN bok b ON a.band=b.band AND a.bucket=b.bucket "
+    "AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id), "
+    "inter AS (SELECT c.ka, c.kb, COUNT(*) AS n_inter FROM cand c "
+    "JOIN dw wa ON wa.doc_id=c.ka JOIN dw wb ON wb.doc_id=c.kb "
+    "AND wb.w=wa.w GROUP BY c.ka, c.kb), "
+    "jac AS (SELECT i.ka, i.kb, (1000 * n_inter) // "
+    "(sa.n + sb.n - n_inter) AS jac_x1000 FROM inter i "
+    "JOIN sizes sa ON sa.doc_id=i.ka JOIN sizes sb ON sb.doc_id=i.kb)"
 )
 
 _QEMB_CTE = (
@@ -343,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
@@ -416,26 +455,25 @@ def oracle_sql() -> dict[str, str]:
                 for b in range(4)
             ),
         "dedup_near_pairs":
-            f"{_WORDS_CTE}, sig AS ({_SIG_SQL}), "
-            "bands AS ("
-            + " UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band, md5(mh{2*b}||mh{2*b+1}) AS bucket FROM sig"
-                for b in range(4)
-            )
-            + "), cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb "
-            "FROM bands a JOIN bands b ON a.band=b.band AND a.bucket=b.bucket "
-            "AND a.doc_id < b.doc_id), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id), "
-            "inter AS (SELECT c.ka, c.kb, COUNT(*) AS n_inter FROM cand c "
-            "JOIN dw wa ON wa.doc_id=c.ka JOIN dw wb ON wb.doc_id=c.kb "
-            "AND wb.w=wa.w GROUP BY c.ka, c.kb), "
-            "jac AS (SELECT i.ka, i.kb, (1000 * n_inter) // "
-            "(sa.n + sb.n - n_inter) AS jac_x1000 FROM inter i "
-            "JOIN sizes sa ON sa.doc_id=i.ka JOIN sizes sb ON sb.doc_id=i.kb) "
+            f"{_WORDS_CTE}, sig AS ({_SIG_SQL}), bands AS ({_BANDS_SQL}), "
+            f"{_JAC_CTES} "
             "SELECT COUNT(*) AS n_candidate_pairs, "
             "CAST(SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
             "MAX(jac_x1000) AS max_jac_x1000, MIN(jac_x1000) AS min_jac_x1000 "
             "FROM jac",
+        "dedup_corpus":
+            "WITH RECURSIVE "
+            "kx AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+            "u AS (SELECT d.* FROM documents d JOIN kx ON kx.doc_id = d.doc_id), "
+            f"dw AS ({_dw_sql('u')}), sig AS ({_SIG_SQL}), "
+            f"bands AS ({_BANDS_SQL}), {_JAC_CTES}, "
+            "edges AS (SELECT ka AS a, kb AS b FROM jac WHERE jac_x1000 >= 700 "
+            "UNION ALL SELECT kb, ka FROM jac WHERE jac_x1000 >= 700), "
+            "cc AS (SELECT doc_id AS node, doc_id AS label FROM u "
+            "UNION SELECT e.b AS node, cc.label FROM cc JOIN edges e ON e.a = cc.node), "
+            "lab AS (SELECT node, MIN(label) AS comp FROM cc GROUP BY node) "
+            "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM u d "
+            "JOIN lab l ON l.node = d.doc_id AND l.comp = d.doc_id",
         "dedup_simhash":
             f"{_WORDS_CTE}, agg AS (SELECT doc_id, "
             + ", ".join(

@@ -16,10 +16,15 @@ Design rules:
 """
 
 from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_corpus,
     dedup_near_pair_stats,
     exact_dedup,
+    jaccard_on_pairs,
     lsh_buckets,
+    lsh_candidate_pairs,
     minhash_signatures,
+    near_dup_edges,
     simhash,
 )
 from .similarity import embedding_near_dup_stats, lsh_ann_buckets, topk_neighbors  # noqa: F401

@@ -1,12 +1,17 @@
 """Deduplication operators: exact, MinHash signatures + LSH banding,
-near-dup candidate verification (word-set Jaccard), SimHash.
+near-dup candidate verification (word-set Jaccard), SimHash, and the
+terminal ``dedup_corpus`` (exact-dedup -> LSH-verified near-dup graph
+-> connected components -> keeper per component -> cleaned table).
 
 All hashing is md5 (bit-identical hex in Spark and DuckDB) and every
 ratio is floor-scaled to an integer, so each operator has an exact
-ANSI-SQL oracle. Scale notes: signatures/bands are narrow aggregates
+ANSI-SQL oracle (the corpus oracle uses a recursive CTE for the
+components). Scale notes: signatures/bands are narrow aggregates
 (shuffle keyed on doc_id / bucket); the pair-verification join is
-bounded to LSH-bucket candidates — the standard way exact-quadratic
-dedup becomes feasible at 10^12 docs.
+bounded to LSH-bucket candidates with a per-bucket size cap
+(degenerate buckets would re-create the quadratic blow-up LSH exists
+to avoid — and identical texts are collapsed by exact dedup BEFORE
+LSH, so a capped bucket only ever drops genuinely-distinct colliders).
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from .text import idiv
 
 N_HASHES = 8
 BAND_SIZE = 2
+MAX_BUCKET = 256  # per-(band, bucket) candidate cap — skew guard
 
 
 def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
@@ -69,23 +75,37 @@ def lsh_buckets(
     return res
 
 
-def dedup_near_pair_stats(
+def lsh_candidate_pairs(
     df: DataFrame, key: str = "doc_id", text: str = "text",
-    jaccard_threshold_x1000: int = 700,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """LSH candidates -> exact word-set Jaccard verification; returns
-    one stats row (candidate pairs, verified near-dups) — the decision
-    numbers a dedup pass needs."""
-    sig = minhash_signatures(df, key, text)
-    bands = lsh_buckets(sig, key)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    """Distinct (ka, kb) near-dup candidates: docs sharing any (band,
+    bucket) whose bucket holds <= ``max_bucket`` docs. The cap bounds
+    the self-join at quadratic-in-cap per bucket — one degenerate
+    bucket (e.g. boilerplate-heavy shards) can otherwise hold 10^6
+    docs and the join explodes. One window + one self-join, both
+    keyed on (band, bucket)."""
+    bands = lsh_buckets(minhash_signatures(df, key, text), key)
+    w = Window.partitionBy("band", "bucket")
+    ok = (
+        bands.withColumn("bsz", F.count("*").over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{key}") < F.col(f"b.{key}")))
         .select(F.col(f"a.{key}").alias("ka"), F.col(f"b.{key}").alias("kb"))
         .distinct()
     )
+
+
+def jaccard_on_pairs(
+    df: DataFrame, cand: DataFrame, key: str = "doc_id", text: str = "text",
+) -> DataFrame:
+    """Exact word-set Jaccard (floor-scaled x1000) for candidate pairs."""
     words = _doc_words(df, key, text)
     sizes = words.groupBy(key).agg(F.count("*").alias("n"))
     wa = words.withColumnRenamed(key, "ka")
@@ -94,13 +114,26 @@ def dedup_near_pair_stats(
         cand.join(wa, "ka").join(wb, ["kb", "w"])
         .groupBy("ka", "kb").agg(F.count("*").alias("n_inter"))
     )
-    jac = (
+    return (
         inter.join(sizes.withColumnRenamed(key, "ka").withColumnRenamed("n", "na"), "ka")
         .join(sizes.withColumnRenamed(key, "kb").withColumnRenamed("n", "nb"), "kb")
         .withColumn("jac_x1000",
                     idiv(1000 * F.col("n_inter"),
                          F.col("na") + F.col("nb") - F.col("n_inter")))
+        .select("ka", "kb", "jac_x1000")
     )
+
+
+def dedup_near_pair_stats(
+    df: DataFrame, key: str = "doc_id", text: str = "text",
+    jaccard_threshold_x1000: int = 700,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidates -> exact word-set Jaccard verification; returns
+    one stats row (candidate pairs, verified near-dups) — the decision
+    numbers a dedup pass needs."""
+    cand = lsh_candidate_pairs(df, key, text, max_bucket)
+    jac = jaccard_on_pairs(df, cand, key, text)
     return jac.agg(
         F.count("*").alias("n_candidate_pairs"),
         F.sum(F.when(F.col("jac_x1000") >= jaccard_threshold_x1000, 1).otherwise(0)
@@ -108,6 +141,80 @@ def dedup_near_pair_stats(
         F.max("jac_x1000").alias("max_jac_x1000"),
         F.min("jac_x1000").alias("min_jac_x1000"),
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame,
+    key: str = "node", src: str = "src", dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components -> (node, comp).
+
+    Labels only decrease, so sum(label) is a strictly-decreasing
+    convergence witness — one cheap scalar agg per round, no row data
+    to the driver. localCheckpoint truncates the join lineage each
+    round (the standard Spark CC shape; iterations = graph diameter,
+    small for near-dup clusters). ``edges`` must be symmetric
+    (both directions present)."""
+    labels = nodes.select(F.col(key).alias("node"),
+                          F.col(key).cast("long").alias("label"))
+    prev = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("node"), F.col("label"))
+            .groupBy("node").agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("label", "nbr_label").alias("label"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return labels.withColumnRenamed("label", "comp")
+
+
+def near_dup_edges(
+    df: DataFrame, key: str = "doc_id", text: str = "text",
+    jaccard_threshold_x1000: int = 700, max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Symmetric verified near-dup edge list (src, dst)."""
+    cand = lsh_candidate_pairs(df, key, text, max_bucket)
+    hits = (jaccard_on_pairs(df, cand, key, text)
+            .filter(F.col("jac_x1000") >= jaccard_threshold_x1000))
+    fwd = hits.select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    rev = hits.select(F.col("kb").alias("src"), F.col("ka").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def dedup_corpus(
+    df: DataFrame, key: str = "doc_id", text: str = "text",
+    jaccard_threshold_x1000: int = 700, max_bucket: int = MAX_BUCKET,
+    max_iter: int = 25,
+) -> DataFrame:
+    """The terminal dedup operator: returns the CLEANED corpus.
+
+    1. exact dedup: keep min-key doc per identical text (collapses the
+       degenerate identical-text buckets before LSH ever sees them);
+    2. LSH-verified near-dup edges over the exact-unique survivors;
+    3. connected components (min-label propagation);
+    4. keeper = min key per component; emit keepers' full rows.
+    """
+    keep_exact = (
+        df.groupBy(F.md5(F.col(text)).alias("h"))
+        .agg(F.min(key).alias(key))
+        .select(key)
+    )
+    uniq = df.join(keep_exact, key, "left_semi")
+    edges = near_dup_edges(uniq, key, text, jaccard_threshold_x1000, max_bucket)
+    labels = connected_components(uniq.select(F.col(key).alias("node")), edges,
+                                  max_iter=max_iter)
+    keepers = (labels.filter(F.col("node") == F.col("comp"))
+               .select(F.col("node").alias(key)))
+    return uniq.join(keepers, key, "left_semi")
 
 
 def simhash(df: DataFrame, key: str = "doc_id", text: str = "text",

@@ -167,3 +167,58 @@ def test_quality_and_token_stats_consistency(spark, docs):
         | (F.col("stop_ratio_x1000") > 1000)
     ).count()
     assert bad == 0
+
+
+def test_dedup_corpus_planted_clusters(spark):
+    """Plant exact dups, a chained near-dup cluster, and a distinct doc;
+    dedup_corpus must keep exactly one representative per cluster (the
+    min doc_id) and every distinct doc."""
+    from libgiddy_spark.pipeline import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog by the old river "
+            "bank while birds sing in tall green trees all summer long")
+    words = base.split()
+    near1 = " ".join(words[:-1] + ["winter"])          # ~96% Jaccard w/ base
+    near2 = " ".join(["a"] + words[:-1] + ["winter"])  # chains via near1
+    rows = [
+        (10, base), (11, base), (12, base),            # exact dups of base
+        (13, near1), (14, near2),                      # chain into base's comp
+        (20, "completely unrelated text about spark columnar compression "
+             "engines and arrow record batches flowing through executors"),
+        (21, "another singleton document mentioning parquet manifests and "
+             "checkpoint resume logic for encode jobs at large scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_corpus(df)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [10, 20, 21]
+
+
+def test_lsh_candidate_cap_guards_degenerate_bucket(spark):
+    """A planted degenerate bucket (many DISTINCT docs forced into one
+    (band,bucket) via identical signatures is impossible; instead cap=1
+    any bucket) must bound candidate pairs instead of going quadratic."""
+    from libgiddy_spark.pipeline import lsh_candidate_pairs
+
+    # 40 docs sharing a large common vocabulary -> heavy bucket overlap
+    common = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, common + f" extra{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = lsh_candidate_pairs(df, max_bucket=1000).count()
+    capped = lsh_candidate_pairs(df, max_bucket=3).count()
+    assert uncapped > 0
+    assert capped == 0  # every bucket exceeds the cap -> no candidates
+
+
+def test_connected_components_chain_and_islands(spark):
+    from libgiddy_spark.pipeline import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    # chain 0-1-2-3, pair 4-5, island 6
+    e = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in e] + [(b, a) for a, b in e], "src long, dst long"
+    )
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
