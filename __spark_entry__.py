@@ -281,6 +281,22 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_stats(_embs(spark, sf_dir))
 
 
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding near-dups through the LSH-bucketed SCALE path
+    (multi-probe hamming<=1 candidates, no cartesian in the plan)."""
+    from libgiddy_spark.pipeline import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(_embs(spark, sf_dir))
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    """ANN top-k through the LSH buckets (the scale path that replaces
+    the brute-force cross join)."""
+    from libgiddy_spark.pipeline import topk_neighbors_lsh
+
+    return topk_neighbors_lsh(_embs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing over synthetic webtext html
     (decode stubbed; schema/batching real). Rows-only check — the
@@ -345,16 +361,34 @@ _QEMB_CTE = (
 _QDOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) AS BIGINT)"
 
 
-def _lsh_oracle_sql() -> str:
+def _bucket_expr_sql(qref: str = "q.q") -> str:
     from libgiddy_spark.pipeline.similarity import plane_signs
 
     planes = plane_signs(64, 8)
     terms = []
     for j, p in enumerate(planes):
         lit = "[" + ",".join(str(v) for v in p) + "]::BIGINT[]"
-        dot = _QDOT.format(a="q.q", b=lit)
+        dot = _QDOT.format(a=qref, b=lit)
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return _QEMB_CTE + f" SELECT vec_id, {' + '.join(terms)} AS bucket FROM q"
+    return " + ".join(terms)
+
+
+def _lsh_oracle_sql() -> str:
+    return _QEMB_CTE + f" SELECT vec_id, {_bucket_expr_sql()} AS bucket FROM q"
+
+
+_PROBES_SQL = "(VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) d(d)"
+
+# capped buckets + multi-probe candidates (mirrors similarity.py
+# _capped_buckets + _probe_expand, incl. EMB_MAX_BUCKET=1024)
+def _lsh_cand_ctes() -> str:
+    return (
+        f"b AS (SELECT vec_id, {_bucket_expr_sql()} AS bucket FROM q), "
+        "bs AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket), "
+        "bok AS (SELECT b.vec_id, b.bucket FROM b JOIN bs ON bs.bucket = b.bucket "
+        "WHERE bs.n <= 1024), "
+        f"pr AS (SELECT vec_id, xor(bucket, d) AS probe FROM bok, {_PROBES_SQL})"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -384,8 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -494,6 +530,35 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
             "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
         "embedding_lsh_buckets": _lsh_oracle_sql(),
+        "embedding_near_dups_lsh":
+            f"{_QEMB_CTE}, {_lsh_cand_ctes()}, "
+            "cand AS (SELECT DISTINCT pr.vec_id AS ka, c.vec_id AS kb "
+            "FROM pr JOIN bok c ON c.bucket = pr.probe AND pr.vec_id < c.vec_id), "
+            "norms AS (SELECT vec_id, q, " + _QDOT.format(a="q", b="q")
+            + " AS n2 FROM q), pairs AS (SELECT cand.ka, cand.kb, "
+            + _QDOT.format(a="na.q", b="nb.q")
+            + " AS dot, na.n2 AS na2, nb.n2 AS nb2 FROM cand "
+            "JOIN norms na ON na.vec_id = cand.ka "
+            "JOIN norms nb ON nb.vec_id = cand.kb) "
+            "SELECT COUNT(*) AS n_candidate_pairs, "
+            "CAST(SUM(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
+            "MIN(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
+            "THEN ka END) AS min_ka, "
+            "MAX(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
+            "THEN kb END) AS max_kb FROM pairs",
+        "embedding_topk_lsh":
+            f"{_QEMB_CTE}, {_lsh_cand_ctes()}, "
+            "cand AS (SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id "
+            "FROM pr JOIN bok c ON c.bucket = pr.probe AND c.vec_id <> pr.vec_id "
+            "WHERE pr.vec_id < 5), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            + _QDOT.format(a="qa.q", b="qb.q")
+            + " AS qdot FROM cand JOIN q qa ON qa.vec_id = cand.query_id "
+            "JOIN q qb ON qb.vec_id = cand.neighbor_id), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
+            "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
         "embedding_near_dups":
             f"{_QEMB_CTE}, norms AS (SELECT vec_id, q, "
             + _QDOT.format(a="q", b="q")

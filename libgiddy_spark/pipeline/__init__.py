@@ -27,5 +27,11 @@ from .dedup import (  # noqa: F401
     near_dup_edges,
     simhash,
 )
-from .similarity import embedding_near_dup_stats, lsh_ann_buckets, topk_neighbors  # noqa: F401
+from .similarity import (  # noqa: F401
+    embedding_near_dup_stats,
+    embedding_near_dups_lsh,
+    lsh_ann_buckets,
+    topk_neighbors,
+    topk_neighbors_lsh,
+)
 from .text import fingerprints, lang_id, quality_score, token_stats  # noqa: F401

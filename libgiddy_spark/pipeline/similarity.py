@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 QUANT = 100
 N_PLANES = 8
+EMB_MAX_BUCKET = 1024  # per-bucket cap — degenerate-bucket skew guard
+# multi-probe: own bucket + each single-bit flip (hamming<=1 recall)
+PROBE_DELTAS = [0] + [1 << j for j in range(N_PLANES)]
 
 
 def _quantized(df: DataFrame, key: str = "vec_id", emb: str = "embedding") -> DataFrame:
@@ -83,6 +86,106 @@ def lsh_ann_buckets(
         bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return qdf.select(F.col(key), bucket.alias("bucket"))
+
+
+def _capped_buckets(
+    df: DataFrame, key: str, emb: str, dim: int, n_planes: int, max_bucket: int
+) -> DataFrame:
+    """(key, bucket) with oversized buckets dropped (size > max_bucket).
+    One window over the bucket key — no extra shuffle beyond the
+    bucketing itself."""
+    b = lsh_ann_buckets(df, key, emb, dim, n_planes)
+    w = Window.partitionBy("bucket")
+    return (
+        b.withColumn("bsz", F.count("*").over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+
+
+def _probe_expand(bok: DataFrame, key: str, out: str = "probe") -> DataFrame:
+    """Each (key, bucket) row -> 1 + n_planes probe rows (bucket XOR
+    single-bit deltas). Multi-probe recovers hamming-distance-1 pairs
+    that single-bucket joins miss."""
+    deltas = F.array(*[F.lit(d) for d in PROBE_DELTAS])
+    return bok.select(
+        F.col(key), F.explode(deltas).alias("_d"), F.col("bucket")
+    ).select(F.col(key), F.col("bucket").bitwiseXOR(F.col("_d")).alias(out))
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    dim: int = 64, n_planes: int = N_PLANES,
+    cos_threshold_x100: int = 80, max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup detection: candidates are
+    pairs within hamming distance 1 in LSH bucket space (multi-probe),
+    never all pairs — the join is keyed on the bucket, so at 10^9
+    vectors each bucket is an independent task and there is no
+    cartesian anywhere in the plan. Same exact integer cosine predicate
+    as the brute-force baseline, applied only to candidates."""
+    bok = _capped_buckets(df, key, emb, dim, n_planes, max_bucket)
+    probes = _probe_expand(bok, key)
+    cand = (
+        probes.join(bok.select(F.col(key).alias("kb"), "bucket"),
+                    probes["probe"] == F.col("bucket"))
+        .filter(F.col(key) < F.col("kb"))
+        .select(F.col(key).alias("ka"), "kb")
+        .distinct()
+    )
+    qdf = _quantized(df, key, emb)
+    norms = qdf.select(F.col(key), F.col("q"), _qdot(F.col("q"), F.col("q")).alias("n2"))
+    na = norms.select(F.col(key).alias("ka"), F.col("q").alias("qa"), F.col("n2").alias("na"))
+    nb = norms.select(F.col(key).alias("kb"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
+    t2 = cos_threshold_x100 * cos_threshold_x100
+    pairs = (
+        cand.join(na, "ka").join(nb, "kb")
+        .withColumn("dot", _qdot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "hit",
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 10000 >= t2 * F.col("na") * F.col("nb")),
+        )
+    )
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_near_dups"),
+        F.min(F.when(F.col("hit"), F.col("ka"))).alias("min_ka"),
+        F.max(F.when(F.col("hit"), F.col("kb"))).alias("max_kb"),
+    )
+
+
+def topk_neighbors_lsh(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    k: int = 3, n_queries: int = 5, dim: int = 64,
+    n_planes: int = N_PLANES, max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """ANN top-k through the LSH buckets: each query ranks only the
+    vectors found in its multi-probe buckets (bucket-keyed join — the
+    scale path that replaces the brute-force cross join)."""
+    bok = _capped_buckets(df, key, emb, dim, n_planes, max_bucket)
+    qprobes = _probe_expand(bok.filter(F.col(key) < n_queries), key)
+    cand = (
+        qprobes.select(F.col(key).alias("query_id"), "probe")
+        .join(bok.select(F.col(key).alias("neighbor_id"), "bucket"),
+              F.col("probe") == F.col("bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qdf = _quantized(df, key, emb)
+    qa = qdf.select(F.col(key).alias("query_id"), F.col("q").alias("qq"))
+    qb = qdf.select(F.col(key).alias("neighbor_id"), F.col("q").alias("qn"))
+    scored = (
+        cand.join(F.broadcast(qa), "query_id").join(qb, "neighbor_id")
+        .select("query_id", "neighbor_id", _qdot(F.col("qq"), F.col("qn")).alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qdot")
+    )
 
 
 def embedding_near_dup_stats(

@@ -222,3 +222,53 @@ def test_connected_components_chain_and_islands(spark):
     comp = {r["node"]: r["comp"]
             for r in connected_components(nodes, edges).collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_lsh_near_dups_no_cartesian_and_recall(spark):
+    """The LSH near-dup plan must contain NO cartesian/nested-loop join
+    (that is the whole point of the scale path), and on the small test
+    embeddings its recall vs the brute-force baseline must be high."""
+    from libgiddy_spark.pipeline import (
+        embedding_near_dup_stats,
+        embedding_near_dups_lsh,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lsh_df = embedding_near_dups_lsh(embs)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    brute = embedding_near_dup_stats(embs).collect()[0]
+    lsh = lsh_df.collect()[0]
+    assert lsh["n_near_dups"] <= brute["n_near_dups"]
+    if brute["n_near_dups"]:
+        assert lsh["n_near_dups"] >= 0.8 * brute["n_near_dups"]
+
+
+def test_embedding_bucket_cap(spark):
+    """Planted degenerate bucket: many near-identical vectors land in
+    one LSH bucket; a small cap must zero out the candidate join."""
+    from libgiddy_spark.pipeline import embedding_near_dups_lsh
+
+    rows = [(i, [1.0] * 64) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dups_lsh(df, max_bucket=2).collect()[0]
+    assert capped["n_candidate_pairs"] == 0
+    open_ = embedding_near_dups_lsh(df, max_bucket=100).collect()[0]
+    assert open_["n_near_dups"] == 30 * 29 // 2  # identical vectors
+
+
+def test_topk_lsh_subset_of_brute(spark):
+    """Every (query, neighbor) the LSH top-k returns must score within
+    the brute-force top-k's qdot range for that query (sanity: the
+    bucketed search returns real high-scorers, not noise)."""
+    from libgiddy_spark.pipeline import topk_neighbors, topk_neighbors_lsh
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = topk_neighbors(embs, k=3).collect()
+    lsh = topk_neighbors_lsh(embs, k=3).collect()
+    brute_best = {}
+    for r in brute:
+        brute_best.setdefault(r["query_id"], []).append(r["qdot"])
+    for r in lsh:
+        assert r["qdot"] <= max(brute_best[r["query_id"]])
