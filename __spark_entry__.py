@@ -298,19 +298,24 @@ def q_embedding_topk_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column multimodal plumbing over synthetic webtext html
-    (decode stubbed; schema/batching real). Rows-only check — the
-    webtext table is not among the DuckDB views."""
+    """Binary-column multimodal plumbing (decode stubbed; Arrow kernel,
+    schema, batching real), driven over the documents table's UTF-8
+    bytes so every output column has an exact DuckDB oracle: byte
+    length + JVM sha256 + exact byte-probe counts + the feature
+    vector's integer length dim."""
     from libgiddy_spark.pipeline.multimodal import extract_features
-    from libgiddy_spark.webtext import webtext_df
 
-    wt = webtext_df(spark, 2000, slices=4)
-    feats = extract_features(wt, key="url", binary_col="html")
-    return feats.agg(
-        F.count("*").alias("n_rows"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.count_distinct("sha256_prefix").alias("n_distinct_payloads"),
-        F.sum(F.element_at("feature", 1).cast("double")).alias("sum_len_feature"),
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(docs, key="doc_id", binary_col="payload")
+    return feats.select(
+        F.col("key").alias("doc_id"),
+        "n_bytes",
+        "sha256",
+        "n_space",
+        "n_tag",
+        F.element_at("feature", 1).cast("long").alias("feat_len"),
     )
 
 
@@ -453,7 +458,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (ORDER BY event_id)) AS BIGINT) AS gap_us "
             "FROM events)",
         # compression_metrics: engine-internal; rows-only check
-        # multimodal_features: webtext not in DuckDB views; rows-only
+        "multimodal_features":
+            "SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha256, "
+            "strlen(text) - strlen(replace(text, ' ', '')) AS n_space, "
+            "strlen(text) - strlen(replace(text, '<', '')) AS n_tag, "
+            "strlen(text) AS feat_len FROM documents",
         "text_token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "

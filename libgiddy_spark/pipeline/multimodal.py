@@ -13,17 +13,13 @@ exercised end-to-end.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
-
-FEATURES_SCHEMA = (
-    "key string, n_bytes long, sha256_prefix string, feature array<float>"
-)
+PROBE_BYTES = (0x00, 0x20, 0x3C, 0x7F, 0xFF)  # NUL, space, '<', DEL, 0xFF
 
 
 def decode_media(buf: bytes):  # pragma: no cover - by design
@@ -36,12 +32,18 @@ def decode_media(buf: bytes):  # pragma: no cover - by design
     )
 
 
-def fake_features(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+def fake_features(data: np.ndarray, offsets: np.ndarray):
     """Deterministic per-row 8-dim feature from the raw bytes (byte-
     histogram moments) — vectorized stand-in with the same output
-    contract a real decoder would have. Returns (n, FEATURE_DIM) f32."""
+    contract a real decoder would have.
+
+    Returns (features: (n, FEATURE_DIM) f32,
+             probe_counts: (n, len(PROBE_BYTES)) int64 — exact
+             occurrence counts of the probe bytes, the integer view
+             a SQL oracle can replicate)."""
     n = len(offsets) - 1
     out = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    probes = np.zeros((n, len(PROBE_BYTES)), dtype=np.int64)
     lens = np.diff(offsets)
     row = np.repeat(np.arange(n), lens)
     if len(row):
@@ -54,21 +56,29 @@ def fake_features(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         out[:, 0] = lens
         out[:, 1] = mean
         out[:, 2] = np.sqrt(np.maximum(var, 0))
-        for k, byte in enumerate((0x00, 0x20, 0x3C, 0x7F, 0xFF)):  # <=5 probes
-            cnt = np.bincount(row, weights=(data == byte).astype(np.float64), minlength=n)
+        for k, byte in enumerate(PROBE_BYTES):
+            cnt = np.bincount(row, weights=(data == byte).astype(np.float64),
+                              minlength=n).astype(np.int64)
+            probes[:, k] = cnt
             out[:, 3 + k] = cnt / np.maximum(lens, 1)
-    return out
+    return out, probes
 
 
 def extract_features(
     df: DataFrame, key: str = "url", binary_col: str = "html"
 ) -> DataFrame:
-    """binary column -> (key, n_bytes, sha256 prefix, feature vector).
+    """binary column -> (key, n_bytes, sha256, n_space, n_tag, feature).
 
-    Arrow-batched, partition-parallel; no per-row Python except the
-    (cheap, bounded) sha256 per value, matching the manifest's
-    integrity hashing.
-    """
+    Arrow-batched, partition-parallel, zero per-row Python: the sha256
+    is computed JVM-side (``F.sha2``) before the kernel and passes
+    through untouched; the kernel emits the feature vector plus exact
+    integer byte-probe counts (n_space = 0x20, n_tag = '<') so the
+    whole output is replicable by a SQL oracle."""
+    key_type = dict(df.dtypes)[key]
+    out_schema = (
+        f"key {key_type}, n_bytes long, sha256 string, "
+        "n_space long, n_tag long, feature array<float>"
+    )
 
     def kernel(batches):
         from ..codecs import strcol_of
@@ -76,21 +86,24 @@ def extract_features(
         for batch in batches:
             keys = batch.column(0)
             col = strcol_of(batch.column(1))
-            feats = fake_features(col.data, col.offsets)
-            sha = [
-                hashlib.sha256(bytes(col.data[col.offsets[i]:col.offsets[i + 1]])).hexdigest()[:16]
-                for i in range(len(col))
-            ]
+            sha = batch.column(2)
+            feats, probes = fake_features(col.data, col.offsets)
             yield pa.RecordBatch.from_arrays(
                 [
-                    keys.cast(pa.string()),
+                    keys,
                     pa.array(np.diff(col.offsets), type=pa.int64()),
-                    pa.array(sha, type=pa.string()),
+                    sha,
+                    pa.array(probes[:, 1], type=pa.int64()),  # 0x20
+                    pa.array(probes[:, 2], type=pa.int64()),  # 0x3C '<'
                     pa.FixedSizeListArray.from_arrays(
                         pa.array(feats.ravel(), type=pa.float32()), FEATURE_DIM
                     ).cast(pa.list_(pa.float32())),
                 ],
-                names=["key", "n_bytes", "sha256_prefix", "feature"],
+                names=["key", "n_bytes", "sha256", "n_space", "n_tag", "feature"],
             )
 
-    return df.select(key, binary_col).mapInArrow(kernel, schema=FEATURES_SCHEMA)
+    prepared = df.select(
+        F.col(key), F.col(binary_col),
+        F.sha2(F.col(binary_col), 256).alias("_sha"),
+    )
+    return prepared.mapInArrow(kernel, schema=out_schema)

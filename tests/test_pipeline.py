@@ -149,8 +149,16 @@ def test_multimodal_feature_plumbing(spark):
     # feature[0] is the byte length — cross-check against n_bytes
     assert all(abs(r["feature"][0] - r["n_bytes"]) < 1 for r in rows[:20])
     # determinism across runs
-    again = {r["key"]: r["sha256_prefix"] for r in feats.collect()}
-    assert all(again[r["key"]] == r["sha256_prefix"] for r in rows[:50])
+    again = {r["key"]: r["sha256"] for r in feats.collect()}
+    assert all(again[r["key"]] == r["sha256"] for r in rows[:50])
+    # the n_space probe count is exact (space byte 0x20)
+    import hashlib as _hl
+
+    wt_rows = wt.select("url", "html").limit(5).collect()
+    by_url = {r["key"]: r for r in rows}
+    for r in wt_rows:
+        assert by_url[r["url"]]["n_space"] == bytes(r["html"]).count(b" ")
+        assert by_url[r["url"]]["sha256"] == _hl.sha256(bytes(r["html"])).hexdigest()
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG...")
 
