@@ -187,20 +187,64 @@ def decode_blocks(
     schema: pa.Schema,
     part_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Blocks -> original rows (+ part_id). One task per (part, salt)."""
-    bdf = blocks_df(spark, out_dir)
-    if part_ids is not None:
-        bdf = bdf.filter(F.col("part_id").isin([int(p) for p in part_ids]))
+    """Blocks -> original rows (+ part_id), SHUFFLE-FREE.
 
-    def decode_fn(table: pa.Table) -> pa.Table:
-        return decode_group(table, schema)
-
+    Every encode task writes exactly one parquet file holding whole,
+    contiguous (part_id, salt) groups (range exchange + JVM sort at
+    encode time), so decode never needs the hash exchange of encoded
+    payloads that a groupBy/applyInArrow formulation would add: one
+    task per block FILE streams its groups through the numpy decoder.
+    The only exchange in the plan is a round-robin of the tiny file-
+    path list (metadata, not payload bytes). File reads go through
+    pyarrow, which handles local, HDFS and S3 URIs alike in
+    production."""
+    blocks_root = os.path.join(out_dir, "blocks")
+    files: list[str] = []
+    for root, _dirs, fs in os.walk(blocks_root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                files.append(os.path.join(root, f))
+    files.sort()
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )
-    return bdf.groupBy("part_id", "salt").applyInArrow(
-        lambda key, tbl: decode_fn(tbl), schema=out_fields + ", part_id int"
+    ddl = out_fields + ", part_id int"
+    if not files:
+        return spark.createDataFrame([], ddl)
+    wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
+
+    def decode_stream(batches):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                flt = [("part_id", "in", wanted)] if wanted is not None else None
+                tbl = pq.read_table(
+                    path,
+                    columns=["part_id", "salt", "block_seq", "column", "payload"],
+                    filters=flt,
+                    use_threads=False,  # Spark tasks already fill cores
+                )
+                if tbl.num_rows == 0:
+                    continue
+                tbl = tbl.combine_chunks()
+                pids = tbl.column("part_id").to_numpy()
+                salts = tbl.column("salt").to_numpy()
+                keys = pids.astype(np.int64) * (1 << 20) + salts.astype(np.int64)
+                bounds = np.concatenate(
+                    [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]]
+                )
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    if s == e:
+                        continue
+                    out = decode_group(tbl.slice(s, e - s), schema)
+                    yield from out.to_batches()
+
+    pdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
     )
+    return pdf.mapInArrow(decode_stream, schema=ddl)
 
 
 _SPARK_TYPES = {

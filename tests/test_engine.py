@@ -140,3 +140,22 @@ def _first_schema(path):
 
     f = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
     return pq.read_schema(f)
+
+
+def test_decode_plan_is_shuffle_free(spark, tmp_path):
+    """Decode must not exchange encoded payloads: the only Exchange in
+    the plan is the round-robin of the tiny file-path list (fed by a
+    LocalTableScan), and blocks flow file->task->decoder directly."""
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import decode_blocks, encode_snapshot
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "enc")
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan  # the path list, not block data
+    assert "[path" in plan  # the exchanged relation carries only paths
+    assert dec.count() == 500
