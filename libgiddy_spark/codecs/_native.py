@@ -1,0 +1,211 @@
+"""Optional C fast path for the FSST greedy tokenizer.
+
+The vectorized numpy encoder (fsst.encode_tokens) is the portable
+baseline, but its lock-step formulation costs ~75 ns/byte in numpy
+dispatch overhead — FSST encode was 63% of whole-job wall time in
+round 1. The greedy longest-match loop is branchy, byte-granular and
+cache-local (the symbol table fits in L1), i.e. exactly what a few
+lines of C do at GB/s. This module compiles that loop with the host
+``cc`` at first use and caches the .so; if no compiler is available
+(or ``LIBGIDDY_SPARK_NO_NATIVE=1``), callers fall back to the numpy
+kernel. Token streams are bit-identical by construction (the C loop
+mirrors the numpy matcher exactly — same 2-byte-prefix candidate
+order, same masks, same escape rule) and tests assert it.
+
+The C source is embedded so the package stays a plain ``--py-files``
+zip: each executor host compiles once into a content-addressed file
+under the system temp dir (atomic rename — safe under concurrent
+workers). Little-endian hosts only (x86-64/aarch64); big-endian falls
+back to numpy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* Greedy longest-match FSST tokenizer over pre-split lanes.
+   Mirrors fsst.encode_tokens exactly:
+   - per position, try the <=k_max candidates for the 2-byte prefix
+     (sorted longest-first, -1 padded), first (rem>=len && masked
+     window == value) wins;
+   - else the 1-byte symbol for the leading byte;
+   - else ESCAPE(255) + literal byte.
+   Returns total output bytes; per-lane byte counts in lane_out_lens. */
+long fsst_encode_lanes(
+    const uint8_t* data, long data_len,
+    const int64_t* lane_start, const int64_t* lane_end, long n_lanes,
+    const int64_t* prefix_flat, long k_max,
+    const int64_t* sym_lens, const uint64_t* sym_vals,
+    const int64_t* t1,
+    uint8_t* out, int64_t* lane_out_lens)
+{
+    static const uint64_t MASKS[9] = {
+        0ULL, 0xFFULL, 0xFFFFULL, 0xFFFFFFULL, 0xFFFFFFFFULL,
+        0xFFFFFFFFFFULL, 0xFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFULL,
+        0xFFFFFFFFFFFFFFFFULL};
+    long o = 0;
+    for (long L = 0; L < n_lanes; L++) {
+        int64_t pos = lane_start[L];
+        const int64_t end = lane_end[L];
+        const long o0 = o;
+        while (pos < end) {
+            uint64_t w = 0;
+            const long avail = data_len - pos;
+            memcpy(&w, data + pos, avail >= 8 ? 8 : avail);
+            const long rem = end - pos;
+            int64_t code = -1;
+            long mlen = 1;
+            if (k_max > 0) {
+                const uint32_t pref = (uint32_t)(w & 0xFFFFULL);
+                const int64_t* cands = prefix_flat + (long)pref * k_max;
+                for (long k = 0; k < k_max; k++) {
+                    const int64_t c = cands[k];
+                    if (c < 0) break;
+                    const long cl = (long)sym_lens[c];
+                    if (rem >= cl && (w & MASKS[cl]) == sym_vals[c]) {
+                        code = c; mlen = cl; break;
+                    }
+                }
+            }
+            if (code >= 0) {
+                out[o++] = (uint8_t)code;
+            } else {
+                const int64_t c1 = t1[w & 0xFFULL];
+                if (c1 >= 0) {
+                    out[o++] = (uint8_t)c1;
+                } else {
+                    out[o++] = 255;
+                    out[o++] = (uint8_t)(w & 0xFFULL);
+                }
+            }
+            pos += mlen;
+        }
+        lane_out_lens[L] = o - o0;
+    }
+    return o;
+}
+
+/* FSST decode, pass 1: per-code output offsets (offs[i] = decoded
+   bytes before code position i; escape markers contribute 0 bytes,
+   their literal contributes 1). Returns the total decoded size.
+   Semantics identical to the numpy escape-run-parity classifier:
+   inside a run of 255 bytes, alternating positions are escapes. */
+long fsst_decode_offsets(
+    const uint8_t* codes, long m,
+    const int64_t* sym_lens, long n_sym, int64_t* offs)
+{
+    long o = 0;
+    int lit = 0;
+    for (long i = 0; i < m; i++) {
+        offs[i] = o;
+        if (lit) { o += 1; lit = 0; }
+        else if (codes[i] == 255) { lit = 1; }
+        else {
+            const long c = codes[i] < n_sym ? codes[i] : n_sym - 1;
+            o += sym_lens[c];
+        }
+    }
+    offs[m] = o;
+    return o;
+}
+
+/* FSST decode, pass 2: byte fill. `out` needs >=8 bytes of slack
+   (symbol copies are fixed 8-byte memcpys advanced by true length). */
+void fsst_decode_full(
+    const uint8_t* codes, long m,
+    const uint8_t* sym_matrix, const int64_t* sym_lens, long n_sym,
+    uint8_t* out)
+{
+    long o = 0;
+    int lit = 0;
+    for (long i = 0; i < m; i++) {
+        if (lit) { out[o++] = codes[i]; lit = 0; }
+        else if (codes[i] == 255) { lit = 1; }
+        else {
+            const long c = codes[i] < n_sym ? codes[i] : n_sym - 1;
+            memcpy(out + o, sym_matrix + c * 8, 8);
+            o += sym_lens[c];
+        }
+    }
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _compile() -> str | None:
+    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"lgs_fsst_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cc = os.environ.get("CC", "cc")
+    tmpdir = tempfile.mkdtemp(prefix="lgs_cc_")
+    c_path = os.path.join(tmpdir, "fsst_kernel.c")
+    with open(c_path, "w") as f:
+        f.write(_C_SRC)
+    tmp_so = os.path.join(tmpdir, "fsst_kernel.so")
+    try:
+        subprocess.run(
+            [cc, "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp_so, so_path)  # atomic under concurrent workers
+        return so_path
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def native_lib():
+    """ctypes handle to the compiled kernel, or None (fallback)."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LIBGIDDY_SPARK_NO_NATIVE") == "1":
+        return None
+    if sys.byteorder != "little":
+        return None
+    so_path = _compile()
+    if so_path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.fsst_encode_lanes.restype = ctypes.c_long
+    lib.fsst_encode_lanes.argtypes = [
+        u8p, ctypes.c_long,          # data, data_len
+        i64p, i64p, ctypes.c_long,   # lane_start, lane_end, n_lanes
+        i64p, ctypes.c_long,         # prefix_flat, k_max
+        i64p, u64p,                  # sym_lens, sym_vals
+        i64p,                        # t1
+        u8p, i64p,                   # out, lane_out_lens
+    ]
+    lib.fsst_decode_offsets.restype = ctypes.c_long
+    lib.fsst_decode_offsets.argtypes = [
+        u8p, ctypes.c_long,          # codes, m
+        i64p, ctypes.c_long, i64p,   # sym_lens, n_sym, offs
+    ]
+    lib.fsst_decode_full.restype = None
+    lib.fsst_decode_full.argtypes = [
+        u8p, ctypes.c_long,          # codes, m
+        u8p, i64p, ctypes.c_long,    # sym_matrix, sym_lens, n_sym
+        u8p,                         # out
+    ]
+    _lib = lib
+    return _lib

@@ -147,16 +147,58 @@ def _window_fn(data: np.ndarray):
 
 
 def encode_tokens(col: StrCol, table: SymbolTable):
-    """Greedy longest-match tokenize every string, lanes in lock-step.
+    """Greedy longest-match tokenize every string.
 
-    One lane per <=ENC_CHUNK (1 KiB) chunk of each string; all lanes
-    advance together, each iteration doing whole-array gathers — the CPU
-    transposition of a GPU warp. Token order is recovered by direct
-    scatter (a lane's k-th token comes from iteration k), no sort.
+    Fast path: a tiny C kernel (codecs/_native.py) runs the greedy
+    loop at GB/s — same candidate order, masks and escape rule, so the
+    token stream is bit-identical to the numpy path (asserted in
+    tests). Fallback (no compiler / LIBGIDDY_SPARK_NO_NATIVE=1): the
+    vectorized lock-step numpy encoder — one lane per <=ENC_CHUNK
+    (1 KiB) chunk of each string, all lanes advancing together, each
+    iteration doing whole-array gathers (the CPU transposition of a
+    GPU warp); token order recovered by direct scatter.
 
     Returns (codes: uint8 stream incl. escapes+literals,
              out_lens: int64 encoded byte count per string).
     """
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        return _encode_tokens_native(col, table, lib)
+    return _encode_tokens_numpy(col, table)
+
+
+def _encode_tokens_native(col: StrCol, table: SymbolTable, lib):
+    n = len(col)
+    lane_start, lane_end, lane_row = _lane_split(col)
+    n_lanes = len(lane_start)
+    if n_lanes == 0:
+        return np.zeros(0, np.uint8), np.zeros(n, np.int64)
+    data = np.ascontiguousarray(col.data)
+    total = int((lane_end - lane_start).sum())
+    out = np.empty(2 * total + 8, dtype=np.uint8)
+    lane_out = np.zeros(n_lanes, dtype=np.int64)
+    prefix_flat = (
+        np.ascontiguousarray(table.prefix_flat)
+        if table.k_max
+        else np.zeros(1, np.int64)
+    )
+    nbytes = lib.fsst_encode_lanes(
+        data, len(data),
+        np.ascontiguousarray(lane_start), np.ascontiguousarray(lane_end),
+        n_lanes,
+        prefix_flat, table.k_max,
+        np.ascontiguousarray(table.lens_safe),
+        np.ascontiguousarray(table.vals64),
+        np.ascontiguousarray(table.t1),
+        out, lane_out,
+    )
+    out_lens = np.bincount(lane_row, weights=lane_out, minlength=n).astype(np.int64)
+    return out[:nbytes].copy(), out_lens
+
+
+def _encode_tokens_numpy(col: StrCol, table: SymbolTable):
     n = len(col)
     cursor, end, lane_row = _lane_split(col)
     n_lanes = len(cursor)
@@ -237,6 +279,23 @@ def decode_stream(codes: np.ndarray, table: SymbolTable):
     m = len(codes)
     if m == 0:
         return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None and len(table.symbols):
+        # C fast path: two sequential passes (offsets, then byte fill
+        # with fixed 8-byte symbol copies) — identical semantics to the
+        # vectorized classifier below, asserted by tests
+        codes_c = np.ascontiguousarray(codes)
+        lens_c = np.ascontiguousarray(table.lens)
+        offs = np.empty(m + 1, dtype=np.int64)
+        total = lib.fsst_decode_offsets(codes_c, m, lens_c, len(table.symbols), offs)
+        out = np.empty(total + 8, dtype=np.uint8)
+        lib.fsst_decode_full(
+            codes_c, m, np.ascontiguousarray(table.matrix), lens_c,
+            len(table.symbols), out,
+        )
+        return out[:total], offs
     is255 = codes == ESCAPE
     # runs of 255: even offsets inside a run are escapes
     d = np.diff(is255.astype(np.int8))
@@ -268,8 +327,8 @@ def decode_stream(codes: np.ndarray, table: SymbolTable):
     total = int(out_len.sum())
     offs = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(out_len, out=offs[1:])
-    # assembly by symbol-length class: <= 8x8 strided scatters over token
-    # subsets instead of one giant token-expanded gather (8x less traffic)
+    # byte assembly by symbol-length class: <= 8x8 strided scatters over
+    # token subsets instead of one giant token-expanded gather
     out = np.empty(total, dtype=np.uint8)
     lit_sel = np.flatnonzero(kind == 2)
     out[offs[lit_sel]] = codes[lit_sel]

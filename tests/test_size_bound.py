@@ -104,3 +104,52 @@ def test_fsst_bound_and_stream_identity():
         naive_stream = ref.naive_fsst_encode(bitems, table)
         assert codes.tobytes() == naive_stream, name
         assert enc_bytes(items, "fsst", fsst_table=table) <= ref.naive_fsst_bytes(bitems, table) + A, name
+
+
+def test_fsst_native_numpy_stream_identity():
+    """The C fast path, the lock-step numpy path and the per-byte naive
+    reference must all emit the SAME token stream."""
+    import numpy as np
+
+    from libgiddy_spark.codecs._native import native_lib
+    from libgiddy_spark.codecs.fsst import (
+        _encode_tokens_native,
+        _encode_tokens_numpy,
+    )
+
+    lib = native_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("no C compiler on host")
+    cases = list(STR_INPUTS.values()) + [
+        [],
+        [""] * 10,
+        ["\x00\xff bin\x00ary" * 100, "", "z"],
+        ["日本語のテキスト" * 300, "mixed ascii 日本語"],
+        ["x" * 5000],  # multi-lane single string
+    ]
+    for items in cases:
+        bitems = [s.encode() for s in items]
+        col = StrCol.from_pylist(bitems)
+        table = train(col.data)
+        c_np, l_np = _encode_tokens_numpy(col, table)
+        c_c, l_c = _encode_tokens_native(col, table, lib)
+        assert np.array_equal(c_np, c_c)
+        assert np.array_equal(l_np, l_c)
+        naive = ref.naive_fsst_encode(bitems, table)
+        assert c_c.tobytes() == naive
+        # decode parity: native two-pass vs vectorized numpy classifier
+        import libgiddy_spark.codecs._native as N
+        from libgiddy_spark.codecs.fsst import decode_stream
+
+        out_c, offs_c = decode_stream(c_c, table)
+        saved = N._lib, N._tried
+        N._lib, N._tried = None, True
+        try:
+            out_np, offs_np = decode_stream(c_c, table)
+        finally:
+            N._lib, N._tried = saved
+        assert np.array_equal(out_c, out_np)
+        assert np.array_equal(offs_c, offs_np)
+        assert bytes(out_c) == b"".join(bitems)
