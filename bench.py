@@ -4,15 +4,18 @@
 Default mode (what the per-round driver runs): encode+decode the bench
 tables at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus a
 deterministic synthetic webtext table, on local[$SPARK_GRAFT_CPUS]
-(default 32), and print ONE JSON line::
+(default 8 — a capacity probe shows this virtualized host delivers
+only ~8-10 effective cores, see probe_capacity), and print ONE JSON
+line::
 
     {"metric": "encode_decode_total", "value": <sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "throughput": {...}, "ratios": {...}}
 
 ``--scaling`` mode: run the same job at two parallelism levels
-(local[8] vs local[32] — the sandbox substitute for N vs 4N executors
-authorized by the driver instructions) and write BENCH/BASELINE.md with
-throughputs + scaling efficiency (target >= 0.8, BASELINE.json:14).
+(default local[2] vs local[8] via $SPARK_GRAFT_SCALE_PAIR="2,8" — the
+N-vs-4N substitute authorized by the driver instructions, with both
+levels inside the host's CPU-linear region) and write BENCH/BASELINE.md
+with throughputs + scaling efficiency (target >= 0.8, BASELINE.json:14).
 """
 
 from __future__ import annotations
