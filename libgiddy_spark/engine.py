@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .blocks import BLOCKS_DDL, decode_group, make_encode_stream
 from .manifest import Manifest
-from .skew import apply_salting, partition_byte_stats, salt_factors
+from .skew import apply_salting, footer_byte_stats, salt_factors
 from .table_io import list_parquet_files, load_part_files, snapshot_id_of
 
 
@@ -98,10 +98,12 @@ def encode_snapshot(
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
         # read ONLY this chunk's files (no table re-scan per chunk)
-        sub = load_part_files(spark, source_path, [(p, files[p][0]) for p in chunk])
+        chunk_files = [(p, files[p][0]) for p in chunk]
+        sub = load_part_files(spark, source_path, chunk_files)
         if columns:
             sub = sub.select(*columns, "part_id")
-        stats = partition_byte_stats(sub, list(fat_columns))
+        # salt fan-out from parquet footers: zero scans, zero Spark jobs
+        stats = footer_byte_stats(source_path, chunk_files, list(fat_columns))
         total_b = max(sum(stats.values()), 1)
         eff_target = min(target_salt_bytes, max(total_b // min_slices, 1))
         factors = salt_factors(stats, target_bytes=eff_target)

@@ -2,12 +2,16 @@
 (BASELINE.json:6,14 — "skewed html/text partitions are salted and
 range-repartitioned before the encode shuffle").
 
-Per-partition byte totals come from one cheap Catalyst aggregation
-(sum of octet lengths of the fat columns — pushed down, no Python).
+Per-partition byte totals come from the parquet FOOTERS (per-column
+uncompressed sizes + row counts, a driver-side metadata read — the
+same statistics an Iceberg manifest carries in production), so sizing
+the salt fan-out costs zero table scans and zero Spark jobs per chunk.
 Partitions whose bytes exceed ``target_bytes`` get a salt fan-out
 factor; the DataFrame is then range-repartitioned on (part_id, salt) so
 each salted slice is its own encode task. At 1000-executor scale this
 is what keeps one 100x crawl-host partition from stalling a stage.
+``partition_byte_stats`` (one Catalyst aggregate) remains as the
+fallback for sources without parquet footers.
 """
 
 from __future__ import annotations
@@ -15,8 +19,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def footer_byte_stats(
+    path: str, part_files: list[tuple[int, str]], fat_columns: list[str]
+) -> dict[int, int]:
+    """part_id -> estimated in-memory bytes, from parquet footers only.
+
+    Same estimate partition_byte_stats computes with a scan (fat-column
+    octet sum + 16 B per row per thin column), read from row-group
+    column-chunk metadata instead. Deterministic across runs (resume
+    requires the salt fan-out to be stable)."""
+    import pyarrow.parquet as pq
+
+    from .table_io import abs_file_of
+
+    out: dict[int, int] = {}
+    for pid, rel in part_files:
+        md = pq.ParquetFile(abs_file_of(path, rel)).metadata
+        fat = 0
+        n_cols = md.num_columns
+        n_fat = 0
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(n_cols):
+                col = row_group.column(ci)
+                if col.path_in_schema in fat_columns:
+                    fat += col.total_uncompressed_size
+        n_fat = sum(1 for ci in range(n_cols)
+                    if md.row_group(0).column(ci).path_in_schema in fat_columns
+                    ) if md.num_row_groups else 0
+        thin = 16 * md.num_rows * max(n_cols - n_fat, 0)
+        out[pid] = int(fat + thin)
+    return out
+
+
 def partition_byte_stats(df: DataFrame, fat_columns: list[str]) -> dict[int, int]:
-    """part_id -> estimated in-memory bytes, via one aggregate."""
+    """part_id -> estimated in-memory bytes, via one aggregate
+    (fallback for non-parquet sources; footer_byte_stats is the
+    scan-free default)."""
     size_expr = None
     for c in df.columns:
         if c in ("part_id", "salt"):
