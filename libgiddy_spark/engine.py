@@ -39,6 +39,21 @@ def encode_snapshot(
     source_path: str,
     out_dir: str,
     key_col: str,
+    **kw,
+) -> dict:
+    """Resumable chunked encode of every data file under the snapshot;
+    partition = source data file. See :func:`encode_files`."""
+    return encode_files(
+        spark, source_path, list_parquet_files(source_path), out_dir, key_col, **kw
+    )
+
+
+def encode_files(
+    spark: SparkSession,
+    source_path: str,
+    files: list[tuple[str, int]],
+    out_dir: str,
+    key_col: str,
     chunk_parts: int = 64,
     fat_columns: tuple[str, ...] = ("html", "text"),
     forced_codecs: dict[str, str] | None = None,
@@ -49,7 +64,11 @@ def encode_snapshot(
     min_slices: int | None = None,
     **_compat,
 ) -> dict:
-    """Resumable chunked encode job; partition = source data file.
+    """Resumable chunked encode of the given (relpath, bytes) data
+    files; partition = source data file, with STABLE part ids from the
+    manifest's file registry — already-committed files are skipped, so
+    the same call is a resume, an incremental snapshot append, or a
+    streaming micro-batch step, depending only on what's in ``files``.
 
     Returns a summary dict. ``min_slices`` guarantees a minimum salt
     fan-out per chunk so even a single giant file parallelizes across
@@ -57,15 +76,34 @@ def encode_snapshot(
     """
     t_start = time.time()
     snapshot_id = snapshot_id_of(source_path)
-    files = list_parquet_files(source_path)  # part_id = index into this
+    if not files:
+        return {"snapshot_id": snapshot_id, "num_parts": 0,
+                "skipped_done": 0, "encoded_parts": 0, "secs": 0.0}
     num_parts = len(files)
     manifest = Manifest(out_dir)
     manifest.write_snapshot_header(
         snapshot_id, source_path, _source_files(source_path), num_parts
     )
+    # part_id = STABLE file identity from the manifest's file registry
+    # (first-seen order, monotonic). A snapshot that grew by N files
+    # therefore re-encodes ONLY those files — incremental append for
+    # free, exactly how Iceberg data files accrue across snapshots.
+    registry = manifest.file_registry()
+    next_pid = max(registry.values(), default=-1) + 1
+    newly_seen: list[tuple[str, int, str]] = []
+    rel_of: dict[int, str] = {}
+    for rel, size in files:
+        fid = f"{rel}:{size}"
+        if fid not in registry:
+            registry[fid] = next_pid
+            newly_seen.append((fid, next_pid, rel))
+            next_pid += 1
+        rel_of[registry[fid]] = rel
+    if newly_seen:
+        manifest.register_files(newly_seen)
     blocks_root = os.path.join(out_dir, "blocks")
     os.makedirs(blocks_root, exist_ok=True)
-    done = manifest.done_parts(snapshot_id)
+    done = manifest.done_parts()
     # resume sweep: drop uncommitted temp dirs AND any renamed chunk dir
     # whose parts never reached the manifest (crash between rename and
     # append) — each chunk dir carries a _PARTS marker listing its parts
@@ -80,7 +118,7 @@ def encode_snapshot(
                 parts_in_dir = [int(x) for x in f.read().split() if x]
             if any(p not in done for p in parts_in_dir):
                 shutil.rmtree(full, ignore_errors=True)
-    pending = [p for p in range(num_parts) if p not in done]
+    pending = sorted(p for p in rel_of if p not in done)
     import pyarrow.parquet as pq
 
     from .table_io import abs_file_of
@@ -98,7 +136,7 @@ def encode_snapshot(
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
         # read ONLY this chunk's files (no table re-scan per chunk)
-        chunk_files = [(p, files[p][0]) for p in chunk]
+        chunk_files = [(p, rel_of[p]) for p in chunk]
         sub = load_part_files(spark, source_path, chunk_files)
         if columns:
             sub = sub.select(*columns, "part_id")
@@ -171,7 +209,7 @@ def encode_snapshot(
     return {
         "snapshot_id": snapshot_id,
         "num_parts": num_parts,
-        "skipped_done": len(done),
+        "skipped_done": len(done & set(rel_of)),
         "encoded_parts": encoded_parts,
         "secs": round(time.time() - t_start, 3),
     }

@@ -41,12 +41,42 @@ class Manifest:
                     continue
         return entries
 
-    def done_parts(self, snapshot_id: str) -> set[int]:
+    def done_parts(self, snapshot_id: str | None = None) -> set[int]:
+        """Committed part ids. part_id is a STABLE file identity (see
+        file_registry), so by default done-ness carries across snapshot
+        ids of the same growing table — an appended snapshot re-encodes
+        only its new files. Pass ``snapshot_id`` to scope to one
+        snapshot (legacy behavior)."""
         return {
             e["part_id"]
             for e in self.read()
-            if e.get("status") == "done" and e.get("snapshot_id") == snapshot_id
+            if e.get("status") == "done"
+            and (snapshot_id is None or e.get("snapshot_id") == snapshot_id)
         }
+
+    def file_registry(self) -> dict[str, int]:
+        """file identity ("relpath:bytes") -> stable part_id.
+
+        Files are registered in first-seen order with monotonically
+        increasing part ids; a file that changes size is a NEW identity
+        (re-encoded under a fresh part_id). The registry line is
+        appended BEFORE a file's first encode — the durable naming
+        commitment that keeps chunk dirs, _PARTS markers, and resume
+        consistent across snapshot appends."""
+        return {
+            e["file_id"]: int(e["part_id"])
+            for e in self.read()
+            if e.get("kind") == "file"
+        }
+
+    def register_files(self, new: list[tuple[str, int, str]]) -> None:
+        """Append registry lines: (file_id, part_id, relpath)."""
+        self.append(
+            [
+                {"kind": "file", "file_id": fid, "part_id": pid, "path": rel}
+                for fid, pid, rel in new
+            ]
+        )
 
     def header(self, snapshot_id: str) -> dict | None:
         for e in self.read():

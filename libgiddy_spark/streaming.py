@@ -1,0 +1,93 @@
+"""Structured-Streaming incremental encode (SURVEY.md §2.2 streaming row).
+
+``encode_stream`` watches a snapshot directory with Spark's file
+source and encodes each micro-batch of newly-arrived data files
+through the SAME chunked batch engine (``engine.encode_files``) —
+file-granular, so every engine invariant holds unchanged (footer-based
+salting, one range exchange, streaming Arrow encoder, atomic chunk
+rename, manifest commit point).
+
+Exactly-once comes from the MANIFEST, not the stream: part ids are
+stable file identities in the manifest registry, and committed files
+are skipped — so a replayed micro-batch (stream checkpoint rollback,
+restart, duplicate delivery) is a no-op. The stream provides arrival
+detection and backpressure (``maxFilesPerTrigger``); the file source
+never splits a data file across micro-batches, so each batch is a
+whole number of encode partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .engine import encode_files
+from .table_io import _norm_uri
+
+
+def encode_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+    **encode_kw,
+):
+    """Start the streaming encode; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in the
+    directory and stops (the batch-catch-up mode); ``False`` keeps
+    running on the default micro-batch trigger for continuous
+    ingestion. Call ``q.awaitTermination()`` to block.
+    """
+    import pyarrow.parquet as pq
+
+    from .table_io import abs_file_of, list_parquet_files
+
+    first = list_parquet_files(source_dir)
+    if not first:
+        raise ValueError(f"no parquet files under {source_dir} to infer schema")
+    schema_df = spark.read.parquet(abs_file_of(source_dir, first[0][0]))
+    src_norm = _norm_uri(os.path.abspath(source_dir)).rstrip("/") + "/"
+
+    sdf = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        # the batch's file set is the unit of work: encode exactly those
+        # files through the batch engine (whole files by construction —
+        # the file source never splits a file across micro-batches).
+        # _metadata is not exposed on foreachBatch frames, so the file
+        # names come from input_file_name() and sizes from the driver.
+        paths = [
+            r["p"]
+            for r in batch_df.select(
+                F.input_file_name().alias("p")
+            ).distinct().collect()
+        ]
+        files = []
+        for p, rel, size in _resolve(paths):
+            files.append((rel, size))
+        files.sort()
+        encode_files(spark, source_dir, files, out_dir, key_col, **encode_kw)
+
+    def _resolve(paths: list[str]):
+        for p in paths:
+            norm = _norm_uri(p)
+            rel = norm[len(src_norm):] if norm.startswith(src_norm) else norm
+            local = norm if os.path.exists(norm) else abs_file_of(source_dir, rel)
+            yield p, rel, os.path.getsize(local)
+
+    writer = sdf.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -159,3 +159,54 @@ def test_decode_plan_is_shuffle_free(spark, tmp_path):
     assert "RoundRobinPartitioning" in plan  # the path list, not block data
     assert "[path" in plan  # the exchanged relation carries only paths
     assert dec.count() == 500
+
+
+def test_incremental_snapshot_append(spark, tmp_path):
+    """A snapshot that GREW by new data files re-encodes ONLY those
+    files: part ids are stable file identities in the manifest
+    registry, so done-ness survives the snapshot-id change."""
+    src = str(tmp_path / "grow")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.filter(F.col("doc_id") < 60).repartition(3).write.parquet(src)
+    out = str(tmp_path / "growout")
+    s1 = encode_snapshot(spark, src, out, key_col="doc_id")
+    assert s1["encoded_parts"] == 3
+    docs.filter(F.col("doc_id") >= 60).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    s2 = encode_snapshot(spark, src, out, key_col="doc_id")
+    assert s2["snapshot_id"] != s1["snapshot_id"]
+    assert s2["skipped_done"] == 3
+    assert s2["encoded_parts"] == 2
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
+    assert rep["ok"], rep
+
+
+def test_streaming_encode_micro_batches(spark, tmp_path):
+    """Structured-Streaming encode: files drain in micro-batches through
+    the batch engine; a second availableNow pass after new files arrive
+    encodes only the arrivals (manifest = exactly-once)."""
+    from libgiddy_spark.manifest import Manifest
+    from libgiddy_spark.streaming import encode_stream
+
+    src = str(tmp_path / "stream_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.filter(F.col("doc_id") < 60).repartition(4).write.parquet(src)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = encode_stream(spark, src, out, key_col="doc_id",
+                      checkpoint_dir=ckpt, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    assert len(Manifest(out).done_parts()) == 4
+    # late arrivals -> second drain picks up only the new files
+    docs.filter(F.col("doc_id") >= 60).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = encode_stream(spark, src, out, key_col="doc_id",
+                       checkpoint_dir=ckpt, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+    assert len(Manifest(out).done_parts()) == 6
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
+    assert rep["ok"], rep
