@@ -257,6 +257,14 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram shingle MinHash -> capped LSH -> exact shingle
+    Jaccard (the tokenization-free n-gram dedup variant)."""
+    from libgiddy_spark.pipeline import ngram_jaccard_stats
+
+    return ngram_jaccard_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from libgiddy_spark.pipeline import simhash
 
@@ -327,6 +335,17 @@ def _dw_sql(src: str = "documents") -> str:
 
 
 _WORDS_CTE = f"WITH dw AS ({_dw_sql()})"
+
+
+def _dw_ngram_sql(src: str = "documents", n: int = 5) -> str:
+    """Character-n-gram shingle set. DuckDB range() excludes its upper
+    bound (Spark sequence includes it) — hence the +1; substr/length
+    are character-based in both engines, so multibyte text matches."""
+    return (
+        "SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+        f"unnest(list_transform(range(1, greatest(length(text) - {n - 1}, 1) + 1), "
+        f"i -> substr(text, CAST(i AS INT), {n}))) AS w FROM {src}) t"
+    )
 
 _SIG_SQL = (
     "SELECT doc_id, "
@@ -421,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -502,6 +522,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_pairs":
             f"{_WORDS_CTE}, sig AS ({_SIG_SQL}), bands AS ({_BANDS_SQL}), "
             f"{_JAC_CTES} "
+            "SELECT COUNT(*) AS n_candidate_pairs, "
+            "CAST(SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
+            "MAX(jac_x1000) AS max_jac_x1000, MIN(jac_x1000) AS min_jac_x1000 "
+            "FROM jac",
+        "dedup_ngram_jaccard":
+            f"WITH dw AS ({_dw_ngram_sql()}), sig AS ({_SIG_SQL}), "
+            f"bands AS ({_BANDS_SQL}), {_JAC_CTES} "
             "SELECT COUNT(*) AS n_candidate_pairs, "
             "CAST(SUM(CASE WHEN jac_x1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
             "MAX(jac_x1000) AS max_jac_x1000, MIN(jac_x1000) AS min_jac_x1000 "

@@ -183,8 +183,11 @@ def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
     table = table.sort_by([("column", "ascending"), ("block_seq", "ascending")])
     cols_present = table.column("column").to_pylist()
     payloads = table.column("payload").to_pylist()
+    wanted = {f.name for f in schema}
     by_col: dict[str, list[pa.Array]] = {}
     for name, payload in zip(cols_present, payloads):
+        if name not in wanted:  # projection: don't decode dropped columns
+            continue
         by_col.setdefault(name, []).append(decode_array(payload))
     arrays, names = [], []
     for field in schema:

@@ -2,15 +2,17 @@
 
 Encode lifecycle::
 
-    load snapshot -> resume filter (manifest)            [driver plan]
-    -> per-chunk: skew stats -> salt
+    register files -> resume filter (manifest)           [driver, metadata]
+    -> per-chunk: footer byte stats -> salt fan-out      [driver, footers]
     -> repartitionByRange(part_id, salt)                 [the ONE shuffle]
     -> sortWithinPartitions(part_id, salt, sort_key)     [JVM sort]
-    -> mapInArrow(streaming group encoder)               [numpy kernels]
+    -> mapInArrow(streaming group encoder)               [numpy/C kernels]
     -> blocks parquet (temp dir + atomic rename)         [executors write]
     -> manifest lines per partition                      [driver commit point]
 
-Everything driver-side touches only metadata (partition ids, byte
+Decode is shuffle-free: one task per block file streams whole
+(part_id, salt) groups through the kernels (see decode_blocks).
+Everything driver-side touches only metadata (file registry, byte
 stats, manifest lines) — no row data is ever collected.
 """
 
@@ -253,13 +255,20 @@ def decode_blocks(
         return spark.createDataFrame([], ddl)
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
 
+    wanted_cols = sorted(f.name for f in schema)
+
     def decode_stream(batches):
         import numpy as np
         import pyarrow.parquet as pq
 
         for batch in batches:
             for path in batch.column(0).to_pylist():
-                flt = [("part_id", "in", wanted)] if wanted is not None else None
+                # predicate + projection pushdown into the block scan:
+                # only the requested parts' and columns' payload bytes
+                # are read from the file (row-group pruning)
+                flt = [("column", "in", wanted_cols)]
+                if wanted is not None:
+                    flt.append(("part_id", "in", wanted))
                 tbl = pq.read_table(
                     path,
                     columns=["part_id", "salt", "block_seq", "column", "payload"],

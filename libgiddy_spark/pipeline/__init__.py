@@ -24,7 +24,9 @@ from .dedup import (  # noqa: F401
     lsh_buckets,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_ngram,
     near_dup_edges,
+    ngram_jaccard_stats,
     simhash,
 )
 from .similarity import (  # noqa: F401

@@ -41,16 +41,108 @@ def _doc_words(df: DataFrame, key: str, text: str) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(
-    df: DataFrame, key: str = "doc_id", text: str = "text", n_hashes: int = N_HASHES
-) -> DataFrame:
-    """MinHash over the word set: signature i = min(md5(word || '#i'))."""
-    words = _doc_words(df, key, text)
+def _doc_shingles(df: DataFrame, key: str, text: str, n: int = 5) -> DataFrame:
+    """(key, character-n-gram) pairs, distinct. Character shingles are
+    the word-boundary-free dedup signal (robust to tokenization and to
+    scripts without spaces, e.g. zh). substring() is character-based in
+    both Spark and DuckDB, so the oracle is exact on multibyte text."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text}) - {n - 1}, 1)), "
+        f"i -> substring({text}, i, {n}))"
+    )
+    return df.select(
+        F.col(key), F.explode(F.array_distinct(grams)).alias("w")
+    ).distinct()
+
+
+def _sign_tokens(tokens: DataFrame, key: str, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash over a (key, w) token-set frame: sig i = min(md5(w||'#i'))."""
     aggs = [
         F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return words.groupBy(key).agg(*aggs)
+    return tokens.groupBy(key).agg(*aggs)
+
+
+def _capped_band_pairs(sig: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Signature -> LSH bands -> distinct candidate (ka, kb) pairs from
+    buckets holding <= max_bucket docs (the degenerate-bucket guard:
+    one boilerplate bucket with 10^6 docs would otherwise re-create the
+    quadratic join LSH exists to avoid). One window + one self-join,
+    both keyed on (band, bucket)."""
+    bands = lsh_buckets(sig, key)
+    w = Window.partitionBy("band", "bucket")
+    ok = (
+        bands.withColumn("bsz", F.count("*").over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("ka"), F.col(f"b.{key}").alias("kb"))
+        .distinct()
+    )
+
+
+def _jaccard_from_tokens(tokens: DataFrame, cand: DataFrame, key: str) -> DataFrame:
+    """Exact token-set Jaccard (floor-scaled x1000) for candidate pairs."""
+    sizes = tokens.groupBy(key).agg(F.count("*").alias("n"))
+    wa = tokens.withColumnRenamed(key, "ka")
+    wb = tokens.withColumnRenamed(key, "kb")
+    inter = (
+        cand.join(wa, "ka").join(wb, ["kb", "w"])
+        .groupBy("ka", "kb").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(key, "ka").withColumnRenamed("n", "na"), "ka")
+        .join(sizes.withColumnRenamed(key, "kb").withColumnRenamed("n", "nb"), "kb")
+        .withColumn("jac_x1000",
+                    idiv(1000 * F.col("n_inter"),
+                         F.col("na") + F.col("nb") - F.col("n_inter")))
+        .select("ka", "kb", "jac_x1000")
+    )
+
+
+def _jaccard_stats_row(jac: DataFrame, threshold_x1000: int) -> DataFrame:
+    return jac.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("jac_x1000") >= threshold_x1000, 1).otherwise(0)
+              ).alias("n_near_dups"),
+        F.max("jac_x1000").alias("max_jac_x1000"),
+        F.min("jac_x1000").alias("min_jac_x1000"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, key: str = "doc_id", text: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash over the word set: signature i = min(md5(word || '#i'))."""
+    return _sign_tokens(_doc_words(df, key, text), key, n_hashes)
+
+
+def minhash_signatures_ngram(
+    df: DataFrame, key: str = "doc_id", text: str = "text",
+    n: int = 5, n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """MinHash over the character-n-gram shingle set (the
+    tokenization-free variant of :func:`minhash_signatures`)."""
+    return _sign_tokens(_doc_shingles(df, key, text, n), key, n_hashes)
+
+
+def ngram_jaccard_stats(
+    df: DataFrame, key: str = "doc_id", text: str = "text", n: int = 5,
+    jaccard_threshold_x1000: int = 700, max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """n-gram Jaccard near-dup detection: shingle MinHash -> LSH bands
+    (capped) -> exact shingle-set Jaccard on candidates -> stats row.
+    Same machinery as the word-set path, different token source."""
+    tokens = _doc_shingles(df, key, text, n)
+    cand = _capped_band_pairs(_sign_tokens(tokens, key), key, max_bucket)
+    jac = _jaccard_from_tokens(tokens, cand, key)
+    return _jaccard_stats_row(jac, jaccard_threshold_x1000)
 
 
 def lsh_buckets(
@@ -79,49 +171,16 @@ def lsh_candidate_pairs(
     df: DataFrame, key: str = "doc_id", text: str = "text",
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Distinct (ka, kb) near-dup candidates: docs sharing any (band,
-    bucket) whose bucket holds <= ``max_bucket`` docs. The cap bounds
-    the self-join at quadratic-in-cap per bucket — one degenerate
-    bucket (e.g. boilerplate-heavy shards) can otherwise hold 10^6
-    docs and the join explodes. One window + one self-join, both
-    keyed on (band, bucket)."""
-    bands = lsh_buckets(minhash_signatures(df, key, text), key)
-    w = Window.partitionBy("band", "bucket")
-    ok = (
-        bands.withColumn("bsz", F.count("*").over(w))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
-    )
-    a, b = ok.alias("a"), ok.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .select(F.col(f"a.{key}").alias("ka"), F.col(f"b.{key}").alias("kb"))
-        .distinct()
-    )
+    """Distinct (ka, kb) near-dup candidates from the word-set MinHash
+    bands, with the per-bucket size cap (see _capped_band_pairs)."""
+    return _capped_band_pairs(minhash_signatures(df, key, text), key, max_bucket)
 
 
 def jaccard_on_pairs(
     df: DataFrame, cand: DataFrame, key: str = "doc_id", text: str = "text",
 ) -> DataFrame:
     """Exact word-set Jaccard (floor-scaled x1000) for candidate pairs."""
-    words = _doc_words(df, key, text)
-    sizes = words.groupBy(key).agg(F.count("*").alias("n"))
-    wa = words.withColumnRenamed(key, "ka")
-    wb = words.withColumnRenamed(key, "kb")
-    inter = (
-        cand.join(wa, "ka").join(wb, ["kb", "w"])
-        .groupBy("ka", "kb").agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed(key, "ka").withColumnRenamed("n", "na"), "ka")
-        .join(sizes.withColumnRenamed(key, "kb").withColumnRenamed("n", "nb"), "kb")
-        .withColumn("jac_x1000",
-                    idiv(1000 * F.col("n_inter"),
-                         F.col("na") + F.col("nb") - F.col("n_inter")))
-        .select("ka", "kb", "jac_x1000")
-    )
+    return _jaccard_from_tokens(_doc_words(df, key, text), cand, key)
 
 
 def dedup_near_pair_stats(
@@ -134,13 +193,7 @@ def dedup_near_pair_stats(
     numbers a dedup pass needs."""
     cand = lsh_candidate_pairs(df, key, text, max_bucket)
     jac = jaccard_on_pairs(df, cand, key, text)
-    return jac.agg(
-        F.count("*").alias("n_candidate_pairs"),
-        F.sum(F.when(F.col("jac_x1000") >= jaccard_threshold_x1000, 1).otherwise(0)
-              ).alias("n_near_dups"),
-        F.max("jac_x1000").alias("max_jac_x1000"),
-        F.min("jac_x1000").alias("min_jac_x1000"),
-    )
+    return _jaccard_stats_row(jac, jaccard_threshold_x1000)
 
 
 def connected_components(

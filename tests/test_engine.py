@@ -210,3 +210,22 @@ def test_streaming_encode_micro_batches(spark, tmp_path):
     dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
     rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
     assert rep["ok"], rep
+
+
+def test_decode_projection_pushdown(spark, tmp_path):
+    """Decoding a pruned schema from blocks that hold MORE columns must
+    only materialize the requested ones (and stay value-exact)."""
+    import pyarrow as pa
+
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "proj")
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    full = pq.read_schema(src)
+    pruned = pa.schema([full.field("doc_id"), full.field("lang")])
+    dec = decode_blocks(spark, out, pruned)
+    assert set(dec.columns) == {"doc_id", "lang", "part_id"}
+    rep = verify_roundtrip(
+        spark.read.parquet(src).select("doc_id", "lang"),
+        dec, "doc_id", columns=["doc_id", "lang"],
+    )
+    assert rep["ok"], rep
