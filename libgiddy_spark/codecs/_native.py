@@ -139,6 +139,44 @@ void fsst_decode_full(
         }
     }
 }
+
+/* Fixed-width little-endian bit packing (the innermost int-codec
+   kernel; FoR/delta/dict/RLE all compose onto it). Caller zeroes
+   `out` (nwords + 1 slack) and guarantees v[i] < 2^width, 0<width<64. */
+void pack_bits64(const uint64_t* v, long n, long width, uint64_t* out)
+{
+    long bitpos = 0;
+    for (long i = 0; i < n; i++) {
+        const long wi = bitpos >> 6;
+        const long off = bitpos & 63;
+        out[wi] |= v[i] << off;
+        if (off + width > 64)
+            out[wi + 1] |= v[i] >> (64 - off);
+        bitpos += width;
+    }
+}
+
+/* Inverse of pack_bits64; `words` has >=1 trailing slack word. */
+void unpack_bits64(const uint64_t* words, long n, long width, uint64_t* out)
+{
+    const uint64_t mask = (1ULL << width) - 1;
+    long bitpos = 0;
+    for (long i = 0; i < n; i++) {
+        const long wi = bitpos >> 6;
+        const long off = bitpos & 63;
+        const uint64_t lo = words[wi] >> off;
+        const uint64_t hi = off ? (words[wi + 1] << (64 - off)) : 0;
+        out[i] = (lo | hi) & mask;
+        bitpos += width;
+    }
+}
+
+/* Vectorized int.bit_length() (width chooser input). */
+void bit_lengths64(const uint64_t* v, long n, uint8_t* out)
+{
+    for (long i = 0; i < n; i++)
+        out[i] = v[i] ? (uint8_t)(64 - __builtin_clzll(v[i])) : 0;
+}
 """
 
 _lib = None
@@ -207,5 +245,11 @@ def native_lib():
         u8p, i64p, ctypes.c_long,    # sym_matrix, sym_lens, n_sym
         u8p,                         # out
     ]
+    lib.pack_bits64.restype = None
+    lib.pack_bits64.argtypes = [u64p, ctypes.c_long, ctypes.c_long, u64p]
+    lib.unpack_bits64.restype = None
+    lib.unpack_bits64.argtypes = [u64p, ctypes.c_long, ctypes.c_long, u64p]
+    lib.bit_lengths64.restype = None
+    lib.bit_lengths64.argtypes = [u64p, ctypes.c_long, u8p]
     _lib = lib
     return _lib

@@ -39,6 +39,13 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width == 64:
         return v.tobytes()
     nwords = (n * width + 63) // 64
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        acc = np.zeros(nwords + 1, dtype=np.uint64)
+        lib.pack_bits64(v, n, width, acc)
+        return acc.tobytes()[: (n * width + 7) // 8]
     w = np.arange(nwords, dtype=np.int64)
     first = (w * 64) // width  # first value whose bits reach word w
     base_shift = first * width - w * 64  # in (-width, 0]
@@ -66,6 +73,13 @@ def unpack_bits(buf, n: int, width: int) -> np.ndarray:
         return np.frombuffer(raw, dtype=np.uint64, count=n).copy()
     pad = (-len(raw)) % 8 + 8  # one spare word for the hi-part gather
     words = np.frombuffer(raw + b"\x00" * pad, dtype=np.uint64)
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        out = np.empty(n, dtype=np.uint64)
+        lib.unpack_bits64(np.ascontiguousarray(words), n, width, out)
+        return out
     bitpos = np.arange(n, dtype=np.uint64) * _U64(width)
     wi = (bitpos >> _U64(6)).astype(np.int64)
     off = bitpos & _U64(63)

@@ -39,6 +39,13 @@ _U64 = np.uint64
 
 def bit_lengths(v: np.ndarray) -> np.ndarray:
     """Vectorized int.bit_length() over a uint64 array."""
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        out = np.empty(len(v), dtype=np.uint8)
+        lib.bit_lengths64(np.ascontiguousarray(v, dtype=np.uint64), len(v), out)
+        return out
     w = np.zeros(len(v), dtype=np.uint8)
     vv = v.astype(np.uint64, copy=True)
     for k in (32, 16, 8, 4, 2, 1):

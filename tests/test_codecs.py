@@ -134,3 +134,40 @@ def test_patching_handles_outliers(rng):
     x[::1000] = 2**55
     m, _ = roundtrip(pa.array(x), "for")
     assert m["enc_bytes"] < 100_000 * 56 // 8 * 0.3  # far below unpatched width
+
+
+def test_bitpack_native_numpy_parity(rng):
+    """C pack/unpack/bit_lengths must be byte-identical to the numpy
+    kernels on every width and on boundary values."""
+    import numpy as np
+    import pytest
+
+    import libgiddy_spark.codecs._native as N
+    from libgiddy_spark.codecs import bitpack as bp
+    from libgiddy_spark.codecs import intcodec as ic
+
+    if N.native_lib() is None:
+        pytest.skip("no C compiler on host")
+    for w in [1, 2, 3, 5, 7, 8, 13, 31, 32, 33, 63]:
+        v = rng.integers(0, 1 << min(w, 62), 4000).astype(np.uint64)
+        v &= np.uint64((1 << w) - 1)
+        packed_c = bp.pack_bits(v, w)
+        saved = N._lib, N._tried
+        N._lib, N._tried = None, True
+        try:
+            packed_np = bp.pack_bits(v, w)
+            out_np = bp.unpack_bits(packed_c, len(v), w)
+        finally:
+            N._lib, N._tried = saved
+        assert packed_c == packed_np, w
+        assert np.array_equal(bp.unpack_bits(packed_c, len(v), w), v), w
+        assert np.array_equal(out_np, v), w
+    v = np.array([0, 1, 2, 2**32 - 1, 2**32, 2**63, 2**64 - 1], np.uint64)
+    bl_c = ic.bit_lengths(v)
+    saved = N._lib, N._tried
+    N._lib, N._tried = None, True
+    try:
+        bl_np = ic.bit_lengths(v)
+    finally:
+        N._lib, N._tried = saved
+    assert np.array_equal(bl_c, bl_np)
