@@ -56,10 +56,10 @@ def make_spark(cpus: int):
         .appName("libgiddy-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
-        # blocks shuffle data is codec-compressed and expands ~3x inside
-        # the Python decode kernels: AQE's default 64 MB advisory target
-        # coalesces 64 decode groups into ~10 tasks and starves the
-        # CPU-heavy stage — size by post-expansion work instead
+        # shuffled data headed into Python kernels is codec-compressed
+        # and expands ~3x there: AQE's default 64 MB advisory target
+        # would coalesce it into too few CPU-heavy tasks — size by
+        # post-expansion work instead (decode itself no longer shuffles)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")

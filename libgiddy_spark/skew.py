@@ -36,18 +36,15 @@ def footer_byte_stats(
     for pid, rel in part_files:
         md = pq.ParquetFile(abs_file_of(path, rel)).metadata
         fat = 0
-        n_cols = md.num_columns
         n_fat = 0
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
-            for ci in range(n_cols):
+            for ci in range(md.num_columns):
                 col = row_group.column(ci)
                 if col.path_in_schema in fat_columns:
                     fat += col.total_uncompressed_size
-        n_fat = sum(1 for ci in range(n_cols)
-                    if md.row_group(0).column(ci).path_in_schema in fat_columns
-                    ) if md.num_row_groups else 0
-        thin = 16 * md.num_rows * max(n_cols - n_fat, 0)
+                    n_fat += rg == 0
+        thin = 16 * md.num_rows * max(md.num_columns - n_fat, 0)
         out[pid] = int(fat + thin)
     return out
 
