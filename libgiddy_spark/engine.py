@@ -161,8 +161,14 @@ def encode_files(
             shutil.rmtree(final)
         t0 = time.time()
         # payloads are already codec-compressed; parquet-level snappy on
-        # top costs CPU both directions for ~no size win
-        blocks.write.mode("overwrite").option("compression", "none").parquet(tmp)
+        # top costs CPU both directions for ~no size win — and parquet's
+        # dictionary encoding must be OFF: building dictionary pages over
+        # MB-sized unique payload blobs costs ~13x the write time for
+        # zero size win (measured 12.7 s -> 0.9 s on 790 MB of blocks)
+        (blocks.write.mode("overwrite")
+         .option("compression", "none")
+         .option("parquet.enable.dictionary", "false")
+         .parquet(tmp))
         with open(os.path.join(tmp, "_PARTS"), "w") as f:
             f.write(" ".join(str(int(p)) for p in chunk))
         os.rename(tmp, final)  # atomic commit of the chunk's data
