@@ -75,6 +75,11 @@ def encode_files(
     Returns a summary dict. ``min_slices`` guarantees a minimum salt
     fan-out per chunk so even a single giant file parallelizes across
     the cluster (skew.py does the splitting).
+
+    One out_dir = one (table, column subset): done-ness is per FILE,
+    so resuming the same out_dir with a different ``columns`` selection
+    would skip files encoded under the old selection — use a fresh
+    out_dir per selection.
     """
     t_start = time.time()
     snapshot_id = snapshot_id_of(source_path)
