@@ -48,6 +48,12 @@ def encode_stream(
 
     from .table_io import abs_file_of, list_parquet_files
 
+    if os.path.isfile(source_dir):
+        raise ValueError(
+            "encode_stream watches a DIRECTORY for arriving data files "
+            f"(Spark file streaming requirement); got a file: {source_dir}. "
+            "Use engine.encode_snapshot for one-shot single-file encodes."
+        )
     first = list_parquet_files(source_dir)
     if not first:
         raise ValueError(f"no parquet files under {source_dir} to infer schema")
