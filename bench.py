@@ -190,11 +190,12 @@ def run_bench(cpus: int) -> dict:
         queries: dict[str, float] = {}
         detail: dict[str, dict] = {}
         for name, (src, key, nparts) in jobs.items():
+            # min of 2 for every table: host steal noise is one-sided
+            # and swings single runs by >2x (see BENCH/BASELINE.md)
             r = bench_table(spark, src, key, nparts, min_slices=min_slices)
-            if name != "webtext":  # small tables: min of 2 (host noise)
-                r2 = bench_table(spark, src, key, nparts, min_slices=min_slices)
-                if r2["encode_sec"] + r2["decode_sec"] < r["encode_sec"] + r["decode_sec"]:
-                    r = r2
+            r2 = bench_table(spark, src, key, nparts, min_slices=min_slices)
+            if r2["encode_sec"] + r2["decode_sec"] < r["encode_sec"] + r["decode_sec"]:
+                r = r2
             queries[name] = round(r["encode_sec"] + r["decode_sec"], 3)
             detail[name] = r
         return {"queries": queries, "detail": detail}
