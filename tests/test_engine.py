@@ -229,3 +229,24 @@ def test_decode_projection_pushdown(spark, tmp_path):
         dec, "doc_id", columns=["doc_id", "lang"],
     )
     assert rep["ok"], rep
+
+
+def test_footer_stats_track_scan_stats(spark, tmp_path):
+    """The footer-based salt-sizing estimate must track the Catalyst
+    scan estimate (same formula; footers add page/level overhead to the
+    fat-column bytes, so allow a modest tolerance)."""
+    from libgiddy_spark.skew import footer_byte_stats, partition_byte_stats
+    from libgiddy_spark.table_io import list_parquet_files, load_part_files
+    from libgiddy_spark.webtext import write_webtext
+
+    src = str(tmp_path / "wt")
+    write_webtext(spark, src, 2000)
+    files = list_parquet_files(src)
+    part_files = [(i, rel) for i, (rel, _s) in enumerate(files)]
+    foot = footer_byte_stats(src, part_files, ["html", "text"])
+    scan = partition_byte_stats(
+        load_part_files(spark, src, part_files), ["html", "text"]
+    )
+    assert set(foot) == set(scan)
+    for pid in foot:
+        assert 0.85 <= foot[pid] / scan[pid] <= 1.3, (pid, foot[pid], scan[pid])
