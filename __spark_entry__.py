@@ -487,7 +487,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "
             "len(list_distinct(string_split(text,' '))) AS n_uniq_tokens, "
-            "length(replace(text,' ','')) AS n_nonspace_chars FROM documents",
+            "length(replace(text,' ','')) AS n_nonspace_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) "
+            "AS INT) AS n_bpe_tokens FROM documents",
         "text_quality":
             "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
             "(1000 * len(list_filter(string_split(text,' '), "
@@ -496,7 +498,9 @@ def oracle_sql() -> dict[str, str]:
             "(1000 * len(list_distinct(string_split(text,' ')))) "
             "// len(string_split(text,' ')) AS ttr_x1000, "
             "(1000 * length(replace(text,' ',''))) "
-            "// len(string_split(text,' ')) AS mean_token_len_x1000 "
+            "// len(string_split(text,' ')) AS mean_token_len_x1000, "
+            "(1000 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))) "
+            "// greatest(length(text), 1) AS punct_ratio_x1000 "
             "FROM documents",
         "text_lang_id":
             "SELECT doc_id, "

@@ -25,8 +25,13 @@ def _words(text_col):
     return F.split(text_col, " ")
 
 
+# BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols
+# (ASCII classes mean the same thing to Java regex and RE2 — exact oracle)
+BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
-    """Whitespace token counting + basic shape stats per document."""
+    """Token counting (whitespace + BPE-ish regex) + shape stats."""
     w = _words(F.col(text))
     return df.select(
         F.col(key),
@@ -34,6 +39,7 @@ def token_stats(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
         F.length(F.regexp_replace(F.col(text), " ", "")).alias("n_nonspace_chars"),
+        F.regexp_count(F.col(text), F.lit(BPE_RE)).alias("n_bpe_tokens"),
     )
 
 
@@ -45,10 +51,16 @@ def quality_score(df: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("long")
     n_uniq = F.size(F.array_distinct(w)).cast("long")
     n_nonspace = F.length(F.regexp_replace(F.col(text), " ", "")).cast("long")
+    n_len = F.length(F.col(text)).cast("long")
+    n_punct = n_len - F.length(
+        F.regexp_replace(F.col(text), r"[.,!?;:]", "")
+    ).cast("long")
+    n_chars = F.greatest(n_len, F.lit(1))  # clamp denominator only
     score = (
         idiv(1000 * n_stop, n_tok).alias("stop_ratio_x1000"),
         idiv(1000 * n_uniq, n_tok).alias("ttr_x1000"),
         idiv(1000 * n_nonspace, n_tok).alias("mean_token_len_x1000"),
+        idiv(1000 * n_punct, n_chars).alias("punct_ratio_x1000"),
     )
     return df.select(F.col(key), n_tok.alias("n_tokens"), *score)
 
