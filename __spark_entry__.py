@@ -168,11 +168,15 @@ def q_compression_metrics(spark, sf_dir):
     """Per-column codec choice + compression totals from the blocks
     dataset + manifest path (codec-choice metrics, BASELINE.json:6).
     No SQL oracle (depends on engine internals) -> rows-only check."""
+    import atexit
+    import shutil
     import tempfile
 
     from libgiddy_spark.engine import blocks_df, encode_snapshot
 
     out = tempfile.mkdtemp(prefix="lgs_metrics_")
+    # the returned DataFrame reads these blocks lazily — reclaim at exit
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     encode_snapshot(spark, f"{sf_dir}/documents.parquet", out,
                     key_col="doc_id", num_parts=8)
     return (
@@ -306,11 +310,12 @@ def q_embedding_topk_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column multimodal plumbing (decode stubbed; Arrow kernel,
-    schema, batching real), driven over the documents table's UTF-8
-    bytes so every output column has an exact DuckDB oracle: byte
-    length + JVM sha256 + exact byte-probe counts + the feature
-    vector's integer length dim."""
+    """Format-agnostic binary-column feature path (byte-histogram
+    kernel; real media decode is multimodal_decode_image/_audio),
+    driven over the documents table's UTF-8 bytes so every output
+    column has an exact DuckDB oracle: byte length + JVM sha256 +
+    exact byte-probe counts + the feature vector's integer length
+    dim."""
     from libgiddy_spark.pipeline.multimodal import extract_features
 
     docs = _docs(spark, sf_dir).select(
@@ -324,6 +329,35 @@ def q_multimodal_features(spark, sf_dir):
         "n_space",
         "n_tag",
         F.element_at("feature", 1).cast("long").alias("feat_len"),
+    )
+
+
+def q_multimodal_decode_image(spark, sf_dir):
+    """REAL image decode: deterministic 24-bit BMP files are
+    synthesized per doc_id (true headers, row padding, bottom-up
+    layout), flow through Spark as a binary column, and are parsed
+    back by the pure-numpy BMP decoder; the oracle recomputes every
+    pixel analytically (pixel = (3x+7y+11d+5c) % 256)."""
+    from libgiddy_spark.pipeline.multimodal import image_stats, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="image")
+    return image_stats(media).select(
+        F.col("key").alias("doc_id"), "width", "height",
+        "sum_b", "sum_g", "sum_r", "min_v", "max_v",
+    )
+
+
+def q_multimodal_decode_audio(spark, sf_dir):
+    """REAL audio decode: deterministic PCM-16 WAV clips per doc_id
+    (true RIFF/fmt/data chunks, word alignment), decoded by the RIFF
+    chunk walker; oracle recomputes samples analytically
+    (s(i) = ((i*(d+7)) % 65536) - 32768)."""
+    from libgiddy_spark.pipeline.multimodal import audio_stats, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="audio")
+    return audio_stats(media).select(
+        F.col("key").alias("doc_id"), "rate", "n_samples",
+        "sum_s", "sum_sq", "min_s", "max_s",
     )
 
 
@@ -448,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode_image": q_multimodal_decode_image,
+        "multimodal_decode_audio": q_multimodal_decode_audio,
     }
 
 
@@ -483,6 +519,32 @@ def oracle_sql() -> dict[str, str]:
             "strlen(text) - strlen(replace(text, ' ', '')) AS n_space, "
             "strlen(text) - strlen(replace(text, '<', '')) AS n_tag, "
             "strlen(text) AS feat_len FROM documents",
+        "multimodal_decode_image":
+            "WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w, "
+            "CAST(8 + doc_id % 4 AS INT) AS h FROM documents), "
+            "px AS (SELECT d.doc_id, d.w, d.h, c.c AS c, "
+            "((3*x.x + 7*y.y + 11*d.doc_id + 5*c.c) % 256) AS v "
+            "FROM dims d JOIN range(0, 24) x(x) ON x.x < d.w "
+            "JOIN range(0, 12) y(y) ON y.y < d.h "
+            "JOIN range(0, 3) c(c) ON TRUE) "
+            "SELECT doc_id, MIN(w) AS width, MIN(h) AS height, "
+            "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b, "
+            "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+            "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r, "
+            "CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v "
+            "FROM px GROUP BY doc_id",
+        "multimodal_decode_audio":
+            "WITH p AS (SELECT doc_id, CAST(256 + doc_id % 64 AS BIGINT) AS n, "
+            "CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate FROM documents), "
+            "s AS (SELECT p.doc_id, p.rate, "
+            "((i.i * (p.doc_id + 7)) % 65536 - 32768) AS v "
+            "FROM p JOIN range(0, 320) i(i) ON i.i < p.n) "
+            "SELECT doc_id, MIN(rate) AS rate, "
+            "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+            "CAST(SUM(v) AS BIGINT) AS sum_s, "
+            "CAST(SUM(v*v) AS BIGINT) AS sum_sq, "
+            "CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s "
+            "FROM s GROUP BY doc_id",
         "text_token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "

@@ -76,8 +76,16 @@ def encode_group(
     sort_key: str | None = None,
     forced_codecs: dict[str, str] | None = None,
     block_rows: int = BLOCK_ROWS,
+    selector_cache: dict | None = None,
 ) -> pa.Table:
-    """Encode one (part_id, salt) group of source rows into block rows."""
+    """Encode one (part_id, salt) group of source rows into block rows.
+
+    ``selector_cache`` (keyed on column name; the caller scopes it to
+    one part_id) reuses the codec choice AND the trained FSST symbol
+    table across the salt slices of a partition — a heavily-salted part
+    would otherwise re-train the same column's table once per slice
+    (VERDICT r2 finding 3). FSST's escape path keeps any byte sequence
+    encodable, so a table trained on one slice is correct for all."""
     if sort_key is not None and sort_key in table.column_names:
         table = table.sort_by(sort_key)
     cols = columns or [c for c in table.column_names if c not in ("part_id", "salt")]
@@ -85,16 +93,22 @@ def encode_group(
     n = table.num_rows
     for col_name in cols:
         arr = _normalize(table.column(col_name))
-        forced = (forced_codecs or {}).get(col_name)
-        artifacts: dict = {}
-        if forced:
-            codec, stats = forced, {"forced": True}
+        cached = selector_cache.get(col_name) if selector_cache is not None else None
+        if cached is not None:
+            codec, stats, fsst_table = cached
         else:
-            codec, stats, artifacts = select_codec(arr, col_name)
-        fsst_table: SymbolTable | None = artifacts.get("fsst_table")
-        if codec == "fsst" and fsst_table is None:
-            dense = arr.drop_null() if arr.null_count else arr
-            fsst_table = fsst_mod.train(strcol_of(dense).data)
+            forced = (forced_codecs or {}).get(col_name)
+            artifacts: dict = {}
+            if forced:
+                codec, stats = forced, {"forced": True}
+            else:
+                codec, stats, artifacts = select_codec(arr, col_name)
+            fsst_table: SymbolTable | None = artifacts.get("fsst_table")
+            if codec == "fsst" and fsst_table is None:
+                dense = arr.drop_null() if arr.null_count else arr
+                fsst_table = fsst_mod.train(strcol_of(dense).data)
+            if selector_cache is not None:
+                selector_cache[col_name] = (codec, stats, fsst_table)
         params = json.dumps({"stats": stats}, separators=(",", ":"))
         for seq, start in enumerate(range(0, max(n, 1), block_rows)):
             chunk = arr.slice(start, block_rows)
@@ -136,6 +150,10 @@ def make_encode_stream(
     def encode_stream(batches):
         buf: list[pa.RecordBatch] = []
         cur: tuple[int, int] | None = None
+        # per-PART codec choice + FSST table reuse across salt slices;
+        # groups arrive part-ordered (the range exchange + JVM sort), so
+        # the cache is cleared when the part advances and stays tiny
+        part_cache: dict = {}
 
         def flush():
             if not buf:
@@ -149,6 +167,7 @@ def make_encode_stream(
                 sort_key=None,  # already sorted JVM-side
                 forced_codecs=forced_codecs,
                 block_rows=block_rows,
+                selector_cache=part_cache,
             )
             yield from out.to_batches()
 
@@ -166,6 +185,8 @@ def make_encode_stream(
                 if key != cur:
                     yield from flush()
                     buf.clear()
+                    if cur is None or key[0] != cur[0]:
+                        part_cache.clear()
                     cur = key
                 buf.append(batch.slice(s, e - s))
         yield from flush()

@@ -234,6 +234,36 @@ def blocks_df(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def _committed_block_files(
+    out_dir: str, part_ids: list[int] | None = None
+) -> list[str]:
+    """Block parquet files belonging to COMMITTED chunks, from the
+    manifest. A part-id filter drops whole chunk dirs before listing
+    (each chunk dir's manifest lines name its parts). Hidden paths
+    (``_``/``.`` prefixes: Spark ``_temporary`` task dirs, ``_PARTS``
+    markers) are excluded as defense-in-depth even inside committed
+    dirs."""
+    blocks_root = os.path.join(out_dir, "blocks")
+    chunk_parts: dict[str, set[int]] = {}
+    for e in Manifest(out_dir).read():
+        if e.get("kind") == "part" and e.get("status") == "done" and e.get("chunk_dir"):
+            chunk_parts.setdefault(e["chunk_dir"], set()).add(int(e["part_id"]))
+    wanted = {int(p) for p in part_ids} if part_ids is not None else None
+    files: list[str] = []
+    for d, parts in sorted(chunk_parts.items()):
+        if wanted is not None and not (parts & wanted):
+            continue
+        full = os.path.join(blocks_root, d)
+        if not os.path.isdir(full):  # chunk pruned by a later resume sweep
+            continue
+        for root, dirs, fs in os.walk(full):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for f in fs:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    files.append(os.path.join(root, f))
+    return sorted(files)
+
+
 def decode_blocks(
     spark: SparkSession,
     out_dir: str,
@@ -250,14 +280,15 @@ def decode_blocks(
     The only exchange in the plan is a round-robin of the tiny file-
     path list (metadata, not payload bytes). File reads go through
     pyarrow, which handles local, HDFS and S3 URIs alike in
-    production."""
-    blocks_root = os.path.join(out_dir, "blocks")
-    files: list[str] = []
-    for root, _dirs, fs in os.walk(blocks_root):
-        for f in fs:
-            if f.endswith(".parquet"):
-                files.append(os.path.join(root, f))
-    files.sort()
+    production.
+
+    Block files are listed from the MANIFEST's committed chunk-dir
+    entries, not a filesystem walk: uncommitted ``_tmp_*`` dirs and
+    in-flight task files are invisible by construction (the manifest
+    line is the commit point), a part-id filter prunes whole chunk
+    dirs before any listing happens, and at 100 TB the driver never
+    enumerates the full blocks tree to decode one part."""
+    files = _committed_block_files(out_dir, part_ids)
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )

@@ -196,6 +196,9 @@ def dedup_near_pair_stats(
     return _jaccard_stats_row(jac, jaccard_threshold_x1000)
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame,
     key: str = "node", src: str = "src", dst: str = "dst",
@@ -203,15 +206,43 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation connected components -> (node, comp).
 
+    Integral keys propagate the key value itself (comp = component's
+    minimum key). Non-integral keys (string doc ids, urls) get a
+    collision-checked xxhash64 surrogate label — a silent
+    ``cast('long')`` would turn string keys into all-NULL labels and
+    an EMPTY result — and comp is the representative node's KEY value
+    (arbitrary representative; group on it, don't order by it).
+
     Labels only decrease, so sum(label) is a strictly-decreasing
     convergence witness — one cheap scalar agg per round, no row data
     to the driver. localCheckpoint truncates the join lineage each
     round (the standard Spark CC shape; iterations = graph diameter,
     small for near-dup clusters). ``edges`` must be symmetric
-    (both directions present)."""
-    labels = nodes.select(F.col(key).alias("node"),
-                          F.col(key).cast("long").alias("label"))
+    (both directions present). Exhausting max_iter without the
+    fixpoint warns: the labels would be silently under-merged."""
+    ntype = dict(nodes.dtypes)[key]
+    back = None
+    if ntype in _INTEGRAL_TYPES:
+        labels = nodes.select(F.col(key).alias("node"),
+                              F.col(key).cast("long").alias("label"))
+    else:
+        for seed in range(4):
+            ids = nodes.select(
+                F.col(key).alias("node"),
+                F.xxhash64(F.col(key), F.lit(seed)).alias("nid"),
+            ).localCheckpoint()
+            n, nd = ids.agg(F.count("*"), F.count_distinct("nid")).first()
+            if n == nd:
+                break
+        else:
+            raise ValueError(
+                "connected_components: xxhash64 surrogate ids collided on "
+                "4 seeds — duplicate node keys in `nodes`?"
+            )
+        labels = ids.select("node", F.col("nid").alias("label"))
+        back = ids
     prev = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, F.col(src) == F.col("node"))
@@ -223,11 +254,26 @@ def connected_components(
             .select("node", F.least("label", "nbr_label").alias("label"))
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0) sum: exact and overflow-free even for full-range
+        # xxhash64 labels (ANSI mode would fail a long sum)
+        s = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if s == prev:
+            converged = True
             break
         prev = s
-    return labels.withColumnRenamed("label", "comp")
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds — components may be under-merged; raise max_iter "
+            "(needed rounds ~= graph diameter)",
+            stacklevel=2,
+        )
+    if back is None:
+        return labels.withColumnRenamed("label", "comp")
+    rep = back.select(F.col("nid").alias("label"), F.col("node").alias("comp"))
+    return labels.join(rep, "label").select("node", "comp")
 
 
 def near_dup_edges(
@@ -265,8 +311,12 @@ def dedup_corpus(
     edges = near_dup_edges(uniq, key, text, jaccard_threshold_x1000, max_bucket)
     labels = connected_components(uniq.select(F.col(key).alias("node")), edges,
                                   max_iter=max_iter)
-    keepers = (labels.filter(F.col("node") == F.col("comp"))
-               .select(F.col("node").alias(key)))
+    # keeper = min key per component (key-type-agnostic: comp may be a
+    # surrogate-representative value for string keys — group, don't trust
+    # comp == node)
+    keepers = (labels.groupBy("comp")
+               .agg(F.min("node").alias(key))
+               .select(key))
     return uniq.join(keepers, key, "left_semi")
 
 

@@ -2,16 +2,22 @@
 as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInArrow`` kernels.
 
-The actual media decode is STUBBED (``decode_media`` raises
-``NotImplementedError`` — the image/audio libraries are not in this
-container); everything Spark-side is real and tested: schema, batch
-shapes, partition-parallel execution, and a deterministic fake feature
-extractor (byte-histogram moments) standing in for the decoder so the
-pipeline's downstream contract (fixed-width float feature vectors) is
-exercised end-to-end.
+``decode_media`` is REAL for two public uncompressed formats that need
+no external library: BMP (24-bit BITMAPINFOHEADER, row padding,
+bottom-up or top-down) and WAV (RIFF chunk walk, PCM 16-bit). Both
+parse actual file headers with struct/numpy — the same code would run
+against real crawled media. Compressed formats (JPEG/PNG/MP3/...)
+still raise ``NotImplementedError`` because their codecs are not in
+this container; the dispatch point is where a PIL/ffmpeg-backed
+branch plugs in.
+
+The legacy byte-histogram path (:func:`fake_features`) remains as the
+format-agnostic fallback feature extractor for opaque payloads.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -22,13 +28,104 @@ FEATURE_DIM = 8
 PROBE_BYTES = (0x00, 0x20, 0x3C, 0x7F, 0xFF)  # NUL, space, '<', DEL, 0xFF
 
 
-def decode_media(buf: bytes):  # pragma: no cover - by design
-    """Real media decode (image/audio frame extraction). The decode
-    libraries are not available in this container; the Spark-side
-    plumbing uses :func:`fake_features` instead (clearly marked)."""
+# ---------------------------------------------------------------- BMP
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 BGR -> 24-bit uncompressed BMP bytes (bottom-up,
+    rows padded to 4 bytes — the standard layout)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (h, w, 3) uint8 BGR pixels.
+    Handles row padding and both bottom-up (h>0) and top-down (h<0)
+    layouts; rejects compressed / non-24bpp variants explicitly."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=data_off,
+                        count=row_size * h).reshape(h, row_size)
+    px = raw[:, : w * 3].reshape(h, w, 3)
+    return px.copy() if top_down else px[::-1].copy()
+
+
+# ---------------------------------------------------------------- WAV
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> PCM-16 WAV bytes (RIFF/fmt/data)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM-16 WAV bytes -> (sample_rate, channels, samples int16).
+    Walks RIFF chunks (word-aligned), so extra chunks (LIST, cue) are
+    skipped correctly; multi-channel data comes back (n, channels)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", buf, pos + 8)
+        elif cid == b"data":
+            data = buf[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, channels, samples
+
+
+def decode_media(buf: bytes) -> dict:
+    """Dispatch on magic bytes -> decoded media dict.
+
+    image: {kind, width, height, pixels (h,w,3 uint8 BGR)}
+    audio: {kind, rate, channels, samples (int16)}
+    Compressed formats raise NotImplementedError (codec libraries not
+    in this container — this is the plug point for PIL/ffmpeg)."""
+    head = bytes(buf[:12])
+    if head[:2] == b"BM":
+        px = decode_bmp(buf)
+        return {"kind": "image", "width": px.shape[1],
+                "height": px.shape[0], "pixels": px}
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        rate, channels, samples = decode_wav(buf)
+        return {"kind": "audio", "rate": rate, "channels": channels,
+                "samples": samples}
     raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "container; use fake_features (deterministic stand-in) instead"
+        "compressed media formats (JPEG/PNG/MP3/...) require codec "
+        "libraries not present in this container"
     )
 
 
@@ -107,3 +204,126 @@ def extract_features(
         F.sha2(F.col(binary_col), 256).alias("_sha"),
     )
     return prepared.mapInArrow(kernel, schema=out_schema)
+
+
+def synthesize_media(
+    df: DataFrame, key: str = "doc_id", kind: str = "image"
+) -> DataFrame:
+    """(key:int) -> (key, payload binary): a deterministic BMP (or WAV)
+    per key — REAL file bytes (headers, padding, chunk alignment), so
+    the decode path downstream parses exactly what a crawler would
+    hand it, while every decoded pixel/sample remains an integer
+    function of the key that a SQL oracle can recompute:
+
+      image: w=16+d%8, h=8+d%4, channel c at (x,y) = (3x+7y+11d+5c)%256
+      audio: n=256+d%64, rate=8000+(d%4)*4000, s(i)=((i*(d+7))%65536)-32768
+    """
+    key_type = dict(df.dtypes)[key]
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            payloads = []
+            for kval in keys.to_pylist():
+                d = int(kval)
+                if kind == "image":
+                    w, h = 16 + d % 8, 8 + d % 4
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((3 * x + 7 * y + 11 * d + 5 * c) % 256).astype(np.uint8)
+                    payloads.append(encode_bmp(px))
+                else:
+                    n = 256 + d % 64
+                    rate = 8000 + (d % 4) * 4000
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((i * (d + 7)) % 65536 - 32768).astype(np.int16)
+                    payloads.append(encode_wav(s, rate))
+            yield pa.RecordBatch.from_arrays(
+                [keys, pa.array(payloads, type=pa.binary())],
+                names=["key", "payload"],
+            )
+
+    return df.select(F.col(key)).mapInArrow(
+        kernel, schema=f"key {key_type}, payload binary"
+    )
+
+
+def image_stats(
+    df: DataFrame, key: str = "key", binary_col: str = "payload"
+) -> DataFrame:
+    """Decode a BMP binary column (REAL header/pixel parse) -> exact
+    integer stats per image: dims + per-channel sums + min/max. The
+    per-buffer loop is the batch-kernel norm for whole-file payloads;
+    all pixel math is vectorized numpy."""
+    key_type = dict(df.dtypes)[key]
+    schema = (f"key {key_type}, width int, height int, "
+              "sum_b long, sum_g long, sum_r long, min_v int, max_v int")
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            rows = {n: [] for n in ("width", "height", "sum_b", "sum_g",
+                                    "sum_r", "min_v", "max_v")}
+            for buf in batch.column(1):
+                m = decode_media(buf.as_py())
+                px = m["pixels"].astype(np.int64)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                sums = px.sum(axis=(0, 1))
+                rows["sum_b"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_r"].append(int(sums[2]))
+                rows["min_v"].append(int(px.min()))
+                rows["max_v"].append(int(px.max()))
+            yield pa.RecordBatch.from_arrays(
+                [keys,
+                 pa.array(rows["width"], type=pa.int32()),
+                 pa.array(rows["height"], type=pa.int32()),
+                 pa.array(rows["sum_b"], type=pa.int64()),
+                 pa.array(rows["sum_g"], type=pa.int64()),
+                 pa.array(rows["sum_r"], type=pa.int64()),
+                 pa.array(rows["min_v"], type=pa.int32()),
+                 pa.array(rows["max_v"], type=pa.int32())],
+                names=["key", "width", "height", "sum_b", "sum_g",
+                       "sum_r", "min_v", "max_v"],
+            )
+
+    return df.select(F.col(key), F.col(binary_col)).mapInArrow(kernel, schema)
+
+
+def audio_stats(
+    df: DataFrame, key: str = "key", binary_col: str = "payload"
+) -> DataFrame:
+    """Decode a WAV binary column (REAL RIFF chunk walk) -> exact
+    integer stats per clip: rate, n_samples, sum, sum of squares,
+    min/max."""
+    key_type = dict(df.dtypes)[key]
+    schema = (f"key {key_type}, rate int, n_samples long, "
+              "sum_s long, sum_sq long, min_s int, max_s int")
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            rows = {n: [] for n in ("rate", "n_samples", "sum_s", "sum_sq",
+                                    "min_s", "max_s")}
+            for buf in batch.column(1):
+                m = decode_media(buf.as_py())
+                s = m["samples"].astype(np.int64)
+                rows["rate"].append(m["rate"])
+                rows["n_samples"].append(int(s.size))
+                rows["sum_s"].append(int(s.sum()))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["min_s"].append(int(s.min()))
+                rows["max_s"].append(int(s.max()))
+            yield pa.RecordBatch.from_arrays(
+                [keys,
+                 pa.array(rows["rate"], type=pa.int32()),
+                 pa.array(rows["n_samples"], type=pa.int64()),
+                 pa.array(rows["sum_s"], type=pa.int64()),
+                 pa.array(rows["sum_sq"], type=pa.int64()),
+                 pa.array(rows["min_s"], type=pa.int32()),
+                 pa.array(rows["max_s"], type=pa.int32())],
+                names=["key", "rate", "n_samples", "sum_s", "sum_sq",
+                       "min_s", "max_s"],
+            )
+
+    return df.select(F.col(key), F.col(binary_col)).mapInArrow(kernel, schema)

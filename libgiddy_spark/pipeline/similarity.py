@@ -190,12 +190,26 @@ def topk_neighbors_lsh(
 
 def embedding_near_dup_stats(
     df: DataFrame, key: str = "vec_id", emb: str = "embedding",
-    cos_threshold_x100: int = 80,
+    cos_threshold_x100: int = 80, max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection, exact integer test:
     dot>0 and dot^2 * 10000 >= t^2 * |a|^2 * |b|^2 (t = threshold/100).
-    Bounded here by brute-force pairs (the oracle-checkable baseline);
-    at scale the same predicate runs within lsh_ann_buckets buckets."""
+
+    This is the BRUTE-FORCE baseline — an O(n^2) pair join kept because
+    it is exactly oracle-checkable and it defines the recall reference
+    for the scale path. It refuses to run above ``max_exact_rows``
+    (default 100k -> ~5e9 pairs) so nobody cartesians 10^9 vectors by
+    accident; use :func:`embedding_near_dups_lsh` (same predicate,
+    bucket-keyed join) at scale, or pass max_exact_rows=None to force."""
+    if max_exact_rows is not None:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"embedding_near_dup_stats is the O(n^2) exact baseline; "
+                f"input has {n} rows > max_exact_rows={max_exact_rows}. "
+                "Use embedding_near_dups_lsh (the scale path) or pass "
+                "max_exact_rows=None to force the cartesian."
+            )
     qdf = _quantized(df, key, emb)
     norms = qdf.select(F.col(key), F.col("q"), _qdot(F.col("q"), F.col("q")).alias("n2"))
     a = norms.select(F.col(key).alias("ka"), F.col("q").alias("qa"), F.col("n2").alias("na"))

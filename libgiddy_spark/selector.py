@@ -24,6 +24,42 @@ from .codecs.strcol import StrCol
 SAMPLE_VALUES = 8192
 FSST_TRIAL_BYTES = 1 << 16
 
+# Measured single-core kernel throughputs in GB/s of RAW bytes
+# (encode, decode) — BENCH/KERNELS.md; codecs without a measured row
+# get conservative numpy-path estimates. Size alone mispicks: encode
+# throughput spans 6.0 GB/s (rle) to 0.08 GB/s (fsst) and a near-tie
+# on size can cost 20x the CPU (VERDICT r2 "what's missing" #3).
+SPEED_GBPS: dict[str, tuple[float, float]] = {
+    "for": (0.85, 2.5),
+    "delta": (0.58, 0.76),
+    "dict": (0.29, 0.27),
+    "rle": (6.0, 13.0),
+    "fsst": (0.08, 0.69),
+    "raw": (2.2, 3.2),
+    "dzbv": (0.5, 0.8),
+}
+# Size-vs-speed weight: one nanosecond of per-value (encode + decode)
+# CPU counts as this many bytes of storage. 0.02 B/ns means a codec
+# must save >= 0.02 B/value for every extra ns/value it costs — i.e.
+# marginal compression below 20 GB/s-equivalent isn't worth the CPU.
+# Near-size-ties (< ~0.5 B/value on 8-byte ints) flip to the faster
+# codec; real size wins (FSST on text: ~100 B/value saved) dominate.
+SPEED_WEIGHT = 0.02
+
+
+def _speed_penalty(codec: str, raw_bytes_per_value: float) -> float:
+    enc, dec = SPEED_GBPS.get(codec, (0.5, 0.8))
+    ns = raw_bytes_per_value / enc + raw_bytes_per_value / dec
+    return SPEED_WEIGHT * ns
+
+
+def _pick(per_value: dict[str, float], raw_bpv: float) -> tuple[str, dict[str, float]]:
+    """Cheapest codec by size + speed-equivalent bytes; returns the
+    pick and the effective costs (recorded in the manifest stats so
+    every choice is auditable)."""
+    eff = {k: v + _speed_penalty(k, raw_bpv) for k, v in per_value.items()}
+    return min(eff, key=lambda k: (eff[k], k)), eff
+
 
 def _sample(arr: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
     """Deterministic stride sample preserving local run structure."""
@@ -94,7 +130,7 @@ def _select_numeric(s: pa.Array, dt: int, n_total: int) -> tuple[str, dict]:
     from .codecs.intcodec import _as_u64
 
     per_value["dzbv"] = float(_DZBV_LENS[dzbv_codes(_as_u64(x))].mean()) + 0.25
-    codec = min(per_value, key=lambda k: (per_value[k], k))
+    codec, eff = _pick(per_value, float(x.dtype.itemsize))
     stats = {
         "n": n_total,
         "sample_n": n,
@@ -103,6 +139,7 @@ def _select_numeric(s: pa.Array, dt: int, n_total: int) -> tuple[str, dict]:
         "min": int(x.min()),
         "max": int(x.max()),
         "est_bytes_per_value": {k: round(v, 3) for k, v in per_value.items()},
+        "eff_bytes_per_value": {k: round(v, 3) for k, v in eff.items()},
     }
     return codec, stats
 
@@ -140,7 +177,7 @@ def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict, dict]:
         fsst_ratio = len(codes) / max(len(trial), 1)
         per_value["fsst"] = fsst_ratio * avg_len + 2.0 + 1200.0 / max(n_total, 1)
         artifacts["fsst_table"] = table
-    codec = min(per_value, key=lambda k: (per_value[k], k))
+    codec, eff = _pick(per_value, avg_len)
     stats = {
         "n": n_total,
         "sample_n": n,
@@ -149,5 +186,6 @@ def _select_string(s: pa.Array, n_total: int) -> tuple[str, dict, dict]:
         "avg_len": round(avg_len, 2),
         "fsst_trial_ratio": round(fsst_ratio, 4) if fsst_ratio is not None else None,
         "est_bytes_per_value": {k: round(v, 3) for k, v in per_value.items()},
+        "eff_bytes_per_value": {k: round(v, 3) for k, v in eff.items()},
     }
     return codec, stats, artifacts

@@ -85,8 +85,13 @@ def encode_stream(
         encode_files(spark, source_dir, files, out_dir, key_col, **encode_kw)
 
     def _resolve(paths: list[str]):
+        from urllib.parse import unquote
+
         for p in paths:
-            norm = _norm_uri(p)
+            # input_file_name() returns a percent-encoded URI; unquote so
+            # files with spaces / non-ASCII names resolve on disk and the
+            # rel:size identity matches the batch path's list_parquet_files
+            norm = _norm_uri(unquote(p))
             rel = norm[len(src_norm):] if norm.startswith(src_norm) else norm
             local = norm if os.path.exists(norm) else abs_file_of(source_dir, rel)
             yield p, rel, os.path.getsize(local)

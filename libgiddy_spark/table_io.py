@@ -63,9 +63,29 @@ def _norm_uri(p: str) -> str:
     return p
 
 
-def _norm_uri_col(c):
-    stripped = F.regexp_replace(c, _SCHEME_RE, "")
-    return F.regexp_replace(stripped, r"^/+", "/")
+def _path_spellings(p: str) -> list[str]:
+    """Every way Spark/Hadoop may render this source path in
+    ``_metadata.file_path``, computed ON THE DRIVER so the per-row
+    expression stays a plain literal-map lookup (the round-2 per-row
+    regexp_replace normalization measured a 2.9x encode slowdown on
+    int-heavy tables — VERDICT r2 finding 1)."""
+    from urllib.parse import quote
+
+    out: list[str] = []
+    if "://" in p or (":" in p.split("/", 1)[0] if "/" in p else False):
+        # remote URI (hdfs://, s3a://, ...): raw + scheme-stripped form
+        out = [p, _norm_uri(p)]
+    else:
+        ap = os.path.abspath(p)
+        # Hadoop renders local paths as file:/abs, file://abs or
+        # file:///abs depending on code path; percent-encoded variants
+        # cover filenames with spaces / non-ASCII
+        for base in (ap, quote(ap, safe="/")):
+            out += [base, f"file:{base}", f"file://{base}", f"file:///{base.lstrip('/')}"]
+    seen: dict[str, None] = {}
+    for s in out:
+        seen.setdefault(s)
+    return list(seen)
 
 
 def load_part_files(
@@ -77,27 +97,24 @@ def load_part_files(
     row with its part_id via ``_metadata.file_path`` (tiny literal map,
     no UDF, no extra scan).
 
-    Both the map keys and the metadata path go through the SAME URI
-    normalization, and an unmapped file raises inside the plan instead
-    of silently collapsing rows into a part_id=-1 mega-group (which
-    would mean one giant task + wrong manifest keys + broken resume)."""
+    All URI spelling variants are emitted as literal map keys by the
+    DRIVER, so the per-row expression is a single map lookup plus a
+    null check — no per-row regex. An unmapped file still raises inside
+    the plan (coalesce only evaluates raise_error when the lookup
+    missed) instead of silently collapsing rows into a part_id=-1
+    mega-group (one giant task + wrong manifest keys + broken resume)."""
     paths = [abs_file_of(path, rel) for _pid, rel in part_files]
     df = spark.read.parquet(*paths)
     kv = []
     for (pid, _rel), p in zip(part_files, paths):
-        ap = os.path.abspath(p) if "://" not in p else p
-        kv += [F.lit(_norm_uri(ap)), F.lit(pid)]
+        for key in _path_spellings(p):
+            kv += [F.lit(key), F.lit(pid)]
     m = F.create_map(*kv)
-    mapped = m[_norm_uri_col(F.col("_metadata.file_path"))]
-    return df.withColumn(
-        "part_id",
-        F.when(
-            mapped.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("libgiddy_spark: source file not in part map: "),
-                    F.col("_metadata.file_path"),
-                )
-            ).cast("int"),
-        ).otherwise(mapped.cast("int")),
-    )
+    mapped = m[F.col("_metadata.file_path")]
+    guard = F.raise_error(
+        F.concat(
+            F.lit("libgiddy_spark: source file not in part map: "),
+            F.col("_metadata.file_path"),
+        )
+    ).cast("int")
+    return df.withColumn("part_id", F.coalesce(mapped.cast("int"), guard))

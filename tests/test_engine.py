@@ -250,3 +250,42 @@ def test_footer_stats_track_scan_stats(spark, tmp_path):
     assert set(foot) == set(scan)
     for pid in foot:
         assert 0.85 <= foot[pid] / scan[pid] <= 1.3, (pid, foot[pid], scan[pid])
+
+
+def test_decode_ignores_uncommitted_tmp_dirs(spark, tmp_path):
+    """Decode lists block files from the MANIFEST's committed chunks: a
+    crashed encode's leftover _tmp_ dir (or an in-flight streaming
+    chunk) must be invisible — no uncommitted/duplicate rows."""
+    import shutil
+
+    src = f"{SF}/events.parquet"
+    out = str(tmp_path / "evt")
+    encode_snapshot(spark, src, out, key_col="event_id")
+    blocks_root = os.path.join(out, "blocks")
+    committed = [d for d in os.listdir(blocks_root) if d.startswith("chunk-")]
+    # simulate a crash: a _tmp_ dir holding a full copy of a committed chunk
+    shutil.copytree(os.path.join(blocks_root, committed[0]),
+                    os.path.join(blocks_root, "_tmp_99_99"))
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "event_id")
+    assert rep["ok"], rep  # duplicate rows would fail rows_decoded
+
+
+def test_decode_part_filter_lists_only_needed_chunks(spark, tmp_path):
+    """A part-id filter prunes whole chunk dirs before any file listing
+    (manifest-driven decode, no full blocks-tree walk)."""
+    from libgiddy_spark.engine import _committed_block_files
+
+    src = _multi_file_copy(spark, f"{SF}/documents.parquet", str(tmp_path / "src4f"), 4)
+    out = str(tmp_path / "docs4f")
+    encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=1)
+    man = Manifest(out)
+    chunk_of = {e["part_id"]: e["chunk_dir"] for e in man.read()
+                if e.get("kind") == "part"}
+    assert len(set(chunk_of.values())) == 4  # one chunk dir per part
+    files = _committed_block_files(out, part_ids=[2])
+    assert files and all(chunk_of[2] in f for f in files)
+    # and decoding just that part returns only its rows
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"),
+                        part_ids=[2])
+    assert dec.select("part_id").distinct().collect()[0][0] == 2

@@ -280,3 +280,70 @@ def test_topk_lsh_subset_of_brute(spark):
         brute_best.setdefault(r["query_id"], []).append(r["qdot"])
     for r in lsh:
         assert r["qdot"] <= max(brute_best[r["query_id"]])
+
+
+def test_connected_components_string_keys(spark):
+    """Non-integral keys must work (ADVICE r2: cast('long') on string
+    keys yielded all-NULL labels and an EMPTY dedup result)."""
+    from libgiddy_spark.pipeline import connected_components
+
+    nodes = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(6)], "node string")
+    e = [("url-0", "url-1"), ("url-1", "url-2"), ("url-3", "url-4")]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src string, dst string")
+    rows = connected_components(nodes, edges).collect()
+    comp = {r["node"]: r["comp"] for r in rows}
+    assert len(comp) == 6 and all(v is not None for v in comp.values())
+    groups = {}
+    for n, c in comp.items():
+        groups.setdefault(c, set()).add(n)
+    assert sorted(sorted(g) for g in groups.values()) == [
+        ["url-0", "url-1", "url-2"], ["url-3", "url-4"], ["url-5"]]
+
+
+def test_dedup_corpus_string_keys(spark):
+    """dedup_corpus end-to-end with string doc ids: keeper = min key
+    per component, corpus never silently empties."""
+    from libgiddy_spark.pipeline import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog by the old river "
+            "bank while birds sing in tall green trees all summer long")
+    near = " ".join(base.split()[:-1] + ["winter"])
+    rows = [("d/a", base), ("d/b", base), ("d/c", near),
+            ("d/z", "a fully distinct document about arrow batches and "
+                    "manifest commit points in a columnar encode engine")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = sorted(r["doc_id"] for r in dedup_corpus(df).collect())
+    assert kept == ["d/a", "d/z"]
+
+
+def test_connected_components_warns_on_iteration_exhaustion(spark):
+    import warnings
+
+    from libgiddy_spark.pipeline import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    e = [(i, i + 1) for i in range(5)]  # chain, diameter 5
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(nodes, edges, max_iter=1).collect()
+        assert any("under-merged" in str(x.message) for x in w)
+
+
+def test_brute_force_near_dups_guard(spark):
+    """The O(n^2) baseline refuses oversized inputs and points at the
+    LSH scale path."""
+    import pytest as _pt
+
+    from libgiddy_spark.pipeline import embedding_near_dup_stats
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="embedding_near_dups_lsh"):
+        embedding_near_dup_stats(df, max_exact_rows=10).collect()
+    # under the cap it still runs
+    assert embedding_near_dup_stats(df, max_exact_rows=100).count() == 1
