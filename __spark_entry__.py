@@ -309,6 +309,22 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return topk_neighbors_lsh(_embs(spark, sf_dir))
 
 
+def q_embedding_ivf_assign(spark, sf_dir):
+    """IVF list assignment (deterministic sampled centroids, max-dot
+    list per vector) — the coarse-quantizer half of the IVF ANN path."""
+    from libgiddy_spark.pipeline import ivf_assign
+
+    return ivf_assign(_embs(spark, sf_dir))
+
+
+def q_embedding_topk_ivf(spark, sf_dir):
+    """ANN top-k through IVF inverted lists (nprobe=2): the list-keyed
+    join scale path, recall tuned by nprobe instead of LSH bit flips."""
+    from libgiddy_spark.pipeline import topk_neighbors_ivf
+
+    return topk_neighbors_ivf(_embs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Format-agnostic binary-column feature path (byte-histogram
     kernel; real media decode is multimodal_decode_image/_audio),
@@ -358,6 +374,31 @@ def q_multimodal_decode_audio(spark, sf_dir):
     return audio_stats(media).select(
         F.col("key").alias("doc_id"), "rate", "n_samples",
         "sum_s", "sum_sq", "min_s", "max_s",
+    )
+
+
+def q_multimodal_resize_image(spark, sf_dir):
+    """Decode -> nearest-neighbor resize to 8x4 -> exact stats of the
+    resized image (the thumbnail step; source-index map sx = x*w // 8
+    is integer-exact, so the oracle recomputes every output pixel)."""
+    from libgiddy_spark.pipeline.multimodal import image_resize_stats, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="image")
+    return image_resize_stats(media).select(
+        F.col("key").alias("doc_id"), "out_w", "out_h",
+        "sum_v", "min_v", "max_v", "corner_v",
+    )
+
+
+def q_multimodal_audio_frames(spark, sf_dir):
+    """Decode -> 64-sample frame split (tail kept) -> exact per-frame
+    energy stats (the frame-sample step of an audio pipeline)."""
+    from libgiddy_spark.pipeline.multimodal import audio_frame_stats, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="audio")
+    return audio_frame_stats(media).select(
+        F.col("key").alias("doc_id"), "n_frames",
+        "max_frame_sum", "min_frame_sum", "frame0_sum",
     )
 
 
@@ -437,6 +478,17 @@ def _lsh_oracle_sql() -> str:
 
 _PROBES_SQL = "(VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) d(d)"
 
+# IVF: sampled centroids (vec_id < 16), affinity rank per vector
+# (mirrors similarity.py _centroids + _ivf_rank: max dot, ties -> cid)
+_IVF_RANK_CTES = (
+    "cent AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 16), "
+    "rnk AS (SELECT q.vec_id, cent.cid, "
+    + _QDOT.format(a="q.q", b="cent.cq")
+    + " AS cdot FROM q, cent), "
+    "arnk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY cdot DESC, cid ASC) AS rn FROM rnk)"
+)
+
 # capped buckets + multi-probe candidates (mirrors similarity.py
 # _capped_buckets + _probe_expand, incl. EMB_MAX_BUCKET=1024)
 def _lsh_cand_ctes() -> str:
@@ -481,9 +533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_ivf_assign": q_embedding_ivf_assign,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_image": q_multimodal_decode_image,
         "multimodal_decode_audio": q_multimodal_decode_audio,
+        "multimodal_resize_image": q_multimodal_resize_image,
+        "multimodal_audio_frames": q_multimodal_audio_frames,
     }
 
 
@@ -545,6 +601,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(v*v) AS BIGINT) AS sum_sq, "
             "CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s "
             "FROM s GROUP BY doc_id",
+        "multimodal_resize_image":
+            "WITH dims AS (SELECT doc_id, 16 + doc_id % 8 AS w, "
+            "8 + doc_id % 4 AS h FROM documents), "
+            "px AS (SELECT d.doc_id, x.x AS x, y.y AS y, c.c AS c, "
+            "((3*((x.x*d.w)//8) + 7*((y.y*d.h)//4) + 11*d.doc_id + 5*c.c) "
+            "% 256) AS v "
+            "FROM dims d JOIN range(0, 8) x(x) ON TRUE "
+            "JOIN range(0, 4) y(y) ON TRUE JOIN range(0, 3) c(c) ON TRUE) "
+            "SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(4 AS INT) AS out_h, "
+            "CAST(SUM(v) AS BIGINT) AS sum_v, CAST(MIN(v) AS INT) AS min_v, "
+            "CAST(MAX(v) AS INT) AS max_v, "
+            "CAST(MAX(CASE WHEN x = 7 AND y = 3 AND c = 2 THEN v END) AS INT) "
+            "AS corner_v FROM px GROUP BY doc_id",
+        "multimodal_audio_frames":
+            "WITH p AS (SELECT doc_id, 256 + doc_id % 64 AS n FROM documents), "
+            "s AS (SELECT p.doc_id, i.i // 64 AS f, "
+            "((i.i * (p.doc_id + 7)) % 65536 - 32768) AS v "
+            "FROM p JOIN range(0, 320) i(i) ON i.i < p.n), "
+            "fs AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS fsum "
+            "FROM s GROUP BY doc_id, f) "
+            "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames, "
+            "MAX(fsum) AS max_frame_sum, MIN(fsum) AS min_frame_sum, "
+            "CAST(MAX(CASE WHEN f = 0 THEN fsum END) AS BIGINT) AS frame0_sum "
+            "FROM fs GROUP BY doc_id",
         "text_token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "
@@ -632,6 +712,24 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
             "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
         "embedding_lsh_buckets": _lsh_oracle_sql(),
+        "embedding_ivf_assign":
+            f"{_QEMB_CTE}, {_IVF_RANK_CTES} "
+            "SELECT vec_id, cid AS list_id FROM arnk WHERE rn = 1",
+        "embedding_topk_ivf":
+            f"{_QEMB_CTE}, {_IVF_RANK_CTES}, "
+            "asg AS (SELECT vec_id AS neighbor_id, cid AS list_id "
+            "FROM arnk WHERE rn = 1), "
+            "pr AS (SELECT vec_id AS query_id, cid AS list_id FROM arnk "
+            "WHERE rn <= 2 AND vec_id < 5), "
+            "cand AS (SELECT DISTINCT query_id, neighbor_id FROM pr "
+            "JOIN asg USING (list_id) WHERE neighbor_id <> query_id), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            + _QDOT.format(a="qa.q", b="qb.q")
+            + " AS qdot FROM cand JOIN q qa ON qa.vec_id = query_id "
+            "JOIN q qb ON qb.vec_id = neighbor_id), "
+            "r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
+            "SELECT query_id, rank, neighbor_id, qdot FROM r2 WHERE rank <= 3",
         "embedding_near_dups_lsh":
             f"{_QEMB_CTE}, {_lsh_cand_ctes()}, "
             "cand AS (SELECT DISTINCT pr.vec_id AS ka, c.vec_id AS kb "

@@ -32,8 +32,10 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     embedding_near_dup_stats,
     embedding_near_dups_lsh,
+    ivf_assign,
     lsh_ann_buckets,
     topk_neighbors,
+    topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
 from .text import fingerprints, lang_id, quality_score, token_stats  # noqa: F401

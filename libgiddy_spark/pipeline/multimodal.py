@@ -107,6 +107,16 @@ def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, samples
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w, 3) pixels — exact integer
+    source-index map (sx = x*w // out_w), so a SQL oracle can recompute
+    every output pixel."""
+    h, w, _ = px.shape
+    sx = (np.arange(out_w) * w) // out_w
+    sy = (np.arange(out_h) * h) // out_h
+    return px[sy][:, sx]
+
+
 def decode_media(buf: bytes) -> dict:
     """Dispatch on magic bytes -> decoded media dict.
 
@@ -285,6 +295,82 @@ def image_stats(
                  pa.array(rows["max_v"], type=pa.int32())],
                 names=["key", "width", "height", "sum_b", "sum_g",
                        "sum_r", "min_v", "max_v"],
+            )
+
+    return df.select(F.col(key), F.col(binary_col)).mapInArrow(kernel, schema)
+
+
+def image_resize_stats(
+    df: DataFrame, key: str = "key", binary_col: str = "payload",
+    out_w: int = 8, out_h: int = 4,
+) -> DataFrame:
+    """Decode BMP -> nearest-neighbor resize to (out_w, out_h) -> exact
+    integer stats of the RESIZED image (the thumbnail/feature-prep step
+    of a media pipeline, decode in the loop)."""
+    key_type = dict(df.dtypes)[key]
+    schema = (f"key {key_type}, out_w int, out_h int, "
+              "sum_v long, min_v int, max_v int, corner_v int")
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            rows = {n: [] for n in ("sum_v", "min_v", "max_v", "corner_v")}
+            for buf in batch.column(1):
+                m = decode_media(buf.as_py())
+                small = resize_nearest(m["pixels"], out_w, out_h).astype(np.int64)
+                rows["sum_v"].append(int(small.sum()))
+                rows["min_v"].append(int(small.min()))
+                rows["max_v"].append(int(small.max()))
+                rows["corner_v"].append(int(small[-1, -1, 2]))  # R of last px
+            n = len(batch)
+            yield pa.RecordBatch.from_arrays(
+                [keys,
+                 pa.array([out_w] * n, type=pa.int32()),
+                 pa.array([out_h] * n, type=pa.int32()),
+                 pa.array(rows["sum_v"], type=pa.int64()),
+                 pa.array(rows["min_v"], type=pa.int32()),
+                 pa.array(rows["max_v"], type=pa.int32()),
+                 pa.array(rows["corner_v"], type=pa.int32())],
+                names=["key", "out_w", "out_h", "sum_v", "min_v", "max_v",
+                       "corner_v"],
+            )
+
+    return df.select(F.col(key), F.col(binary_col)).mapInArrow(kernel, schema)
+
+
+def audio_frame_stats(
+    df: DataFrame, key: str = "key", binary_col: str = "payload",
+    frame_len: int = 64,
+) -> DataFrame:
+    """Decode WAV -> fixed-length frame split (tail partial frame kept)
+    -> exact integer per-frame energy stats (the frame-sample step of
+    an audio pipeline, decode in the loop)."""
+    key_type = dict(df.dtypes)[key]
+    schema = (f"key {key_type}, n_frames int, "
+              "max_frame_sum long, min_frame_sum long, frame0_sum long")
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            rows = {n: [] for n in ("n_frames", "max_frame_sum",
+                                    "min_frame_sum", "frame0_sum")}
+            for buf in batch.column(1):
+                m = decode_media(buf.as_py())
+                s = m["samples"].astype(np.int64)
+                fid = np.arange(s.size) // frame_len
+                sums = np.bincount(fid, weights=s).astype(np.int64)
+                rows["n_frames"].append(int(sums.size))
+                rows["max_frame_sum"].append(int(sums.max()))
+                rows["min_frame_sum"].append(int(sums.min()))
+                rows["frame0_sum"].append(int(sums[0]))
+            yield pa.RecordBatch.from_arrays(
+                [keys,
+                 pa.array(rows["n_frames"], type=pa.int32()),
+                 pa.array(rows["max_frame_sum"], type=pa.int64()),
+                 pa.array(rows["min_frame_sum"], type=pa.int64()),
+                 pa.array(rows["frame0_sum"], type=pa.int64())],
+                names=["key", "n_frames", "max_frame_sum", "min_frame_sum",
+                       "frame0_sum"],
             )
 
     return df.select(F.col(key), F.col(binary_col)).mapInArrow(kernel, schema)

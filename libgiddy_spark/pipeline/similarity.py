@@ -188,6 +188,86 @@ def topk_neighbors_lsh(
     )
 
 
+N_IVF_LISTS = 16
+IVF_NPROBE = 2
+
+
+def _centroids(qdf: DataFrame, key: str, n_lists: int) -> DataFrame:
+    """Deterministic sampled centroids: the quantized vectors of the
+    first n_lists keys (IVF coarse quantizers from a data sample — the
+    standard bootstrap; a k-means refinement would slot in here).
+    Tiny by construction -> always broadcast."""
+    return qdf.filter(F.col(key) < n_lists).select(
+        F.col(key).alias("cid"), F.col("q").alias("cq")
+    )
+
+
+def _ivf_rank(qdf: DataFrame, cents: DataFrame, key: str) -> DataFrame:
+    """(key, cid, cdot) for every (vector, centroid) pair — a broadcast
+    join (n x n_lists rows, the unavoidable IVF assignment cost), with
+    the integer dot as the affinity. No window: callers reduce with
+    max_by / top-n aggregates, so assignment adds no extra shuffle."""
+    return qdf.crossJoin(F.broadcast(cents)).select(
+        F.col(key), F.col("cid"), _qdot(F.col("q"), F.col("cq")).alias("cdot")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    n_lists: int = N_IVF_LISTS,
+) -> DataFrame:
+    """IVF list assignment: each vector joins the inverted list of its
+    max-dot centroid (ties -> smaller cid). One broadcast join + one
+    groupBy on the vector key; at 10^9 rows each list is an
+    independent, joinable partition of the corpus."""
+    qdf = _quantized(df, key, emb)
+    ranked = _ivf_rank(qdf, _centroids(qdf, key, n_lists), key)
+    return ranked.groupBy(key).agg(
+        F.max_by("cid", F.struct(F.col("cdot"), -F.col("cid"))).alias("list_id")
+    )
+
+
+def topk_neighbors_ivf(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    k: int = 3, n_queries: int = 5,
+    n_lists: int = N_IVF_LISTS, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN top-k through IVF inverted lists: each query searches only
+    the vectors assigned to its ``nprobe`` highest-affinity lists —
+    the list-keyed join replaces the brute-force cross join exactly
+    like the LSH path, with recall controlled by nprobe instead of
+    multi-probe bit flips."""
+    qdf = _quantized(df, key, emb)
+    cents = _centroids(qdf, key, n_lists)
+    assigned = ivf_assign(df, key, emb, n_lists)
+    ranked = _ivf_rank(qdf.filter(F.col(key) < n_queries), cents, key)
+    w = Window.partitionBy(key).orderBy(F.desc("cdot"), F.asc("cid"))
+    probes = (
+        ranked.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col(key).alias("query_id"), F.col("cid").alias("list_id"))
+    )
+    cand = (
+        probes.join(assigned.withColumnRenamed(key, "neighbor_id"), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qa = qdf.select(F.col(key).alias("query_id"), F.col("q").alias("qq"))
+    qb = qdf.select(F.col(key).alias("neighbor_id"), F.col("q").alias("qn"))
+    scored = (
+        cand.join(F.broadcast(qa), "query_id").join(qb, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                _qdot(F.col("qq"), F.col("qn")).alias("qdot"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qdot")
+    )
+
+
 def embedding_near_dup_stats(
     df: DataFrame, key: str = "vec_id", emb: str = "embedding",
     cos_threshold_x100: int = 80, max_exact_rows: int = 100_000,

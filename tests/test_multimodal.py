@@ -117,3 +117,50 @@ def test_spark_audio_stats_match_analytic(spark):
         assert r["sum_s"] == int(s.sum())
         assert r["sum_sq"] == int((s * s).sum())
         assert r["min_s"] == int(s.min()) and r["max_s"] == int(s.max())
+
+
+def test_resize_nearest_exact_index_map(rng):
+    from libgiddy_spark.pipeline.multimodal import resize_nearest
+
+    for (h, w), (ow, oh) in [((8, 16), (8, 4)), ((11, 23), (8, 4)),
+                             ((4, 4), (8, 8))]:  # down and up
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_nearest(px, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        for y in range(oh):
+            for x in range(ow):
+                assert (out[y, x] == px[(y * h) // oh, (x * w) // ow]).all()
+
+
+def test_spark_resize_and_frame_stats_match_analytic(spark):
+    from libgiddy_spark.pipeline.multimodal import (
+        audio_frame_stats,
+        image_resize_stats,
+        synthesize_media,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = {r["key"]: r for r in image_resize_stats(
+        synthesize_media(df, key="doc_id", kind="image")).collect()}
+    for d in range(12):
+        w, h, px = _expected_image(d)
+        sx = (np.arange(8) * w) // 8
+        sy = (np.arange(4) * h) // 4
+        small = px[sy][:, sx]
+        r = rows[d]
+        assert r["sum_v"] == int(small.sum())
+        assert r["corner_v"] == int(small[-1, -1, 2])
+        assert (r["min_v"], r["max_v"]) == (int(small.min()), int(small.max()))
+
+    frows = {r["key"]: r for r in audio_frame_stats(
+        synthesize_media(df, key="doc_id", kind="audio")).collect()}
+    for d in range(12):
+        n = 256 + d % 64
+        i = np.arange(n, dtype=np.int64)
+        s = (i * (d + 7)) % 65536 - 32768
+        sums = np.bincount(i // 64, weights=s).astype(np.int64)
+        r = frows[d]
+        assert r["n_frames"] == len(sums)
+        assert r["max_frame_sum"] == int(sums.max())
+        assert r["min_frame_sum"] == int(sums.min())
+        assert r["frame0_sum"] == int(sums[0])

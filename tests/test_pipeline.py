@@ -347,3 +347,35 @@ def test_brute_force_near_dups_guard(spark):
         embedding_near_dup_stats(df, max_exact_rows=10).collect()
     # under the cap it still runs
     assert embedding_near_dup_stats(df, max_exact_rows=100).count() == 1
+
+
+def test_ivf_assign_and_topk(spark):
+    """IVF: every vector lands in exactly one list (its max-dot sampled
+    centroid), and IVF top-k returns correctly-ranked neighbors from
+    the probed lists (subset of brute-force candidates)."""
+    import numpy as np
+
+    from libgiddy_spark.pipeline import ivf_assign, topk_neighbors_ivf
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = ivf_assign(df, n_lists=4)
+    got = {r["vec_id"]: r["list_id"] for r in asg.collect()}
+    assert len(got) == 64 and set(got.values()) <= set(range(4))
+    # recompute assignment exactly: floor-quantized ints, max dot, min cid tie
+    q = {i: np.floor(np.array(v, dtype=np.float64) * 100).astype(np.int64)
+         for i, v in rows}
+    for i in range(64):
+        dots = [(int(q[i] @ q[c]), -c) for c in range(4)]
+        best = max(range(4), key=lambda c: dots[c])
+        assert got[i] == best, i
+    top = topk_neighbors_ivf(df, k=3, n_queries=2, n_lists=4, nprobe=2)
+    out = top.collect()
+    assert {r["query_id"] for r in out} <= {0, 1}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        # neighbor must live in one of the query's 2 best lists
+        qdots = [(int(q[r["query_id"]] @ q[c]), -c) for c in range(4)]
+        probed = sorted(range(4), key=lambda c: qdots[c], reverse=True)[:2]
+        assert got[r["neighbor_id"]] in probed
