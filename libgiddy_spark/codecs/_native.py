@@ -36,17 +36,39 @@ _C_SRC = r"""
 
 /* Greedy longest-match FSST tokenizer over pre-split lanes.
    Mirrors fsst.encode_tokens exactly:
-   - per position, try the <=k_max candidates for the 2-byte prefix
-     (sorted longest-first, -1 padded), first (rem>=len && masked
-     window == value) wins;
+   - per position, try the candidates for the 2-byte prefix (sorted
+     longest-first), first (rem>=len && masked window == value) wins;
    - else the 1-byte symbol for the leading byte;
    - else ESCAPE(255) + literal byte.
+
+   Cache layout is the whole game here: the old 65536 x k_max int64
+   candidate table was ~1.5 MB, so every input byte paid an L3-latency
+   random load (measured ~0.1 GB/s). Now pidx is 65536 u32 entries
+   (256 KB, L2-resident: start<<8 | count into the <=255-entry
+   cand_codes/cand_lens u8 arrays, both L1), and sym_vals (2 KB) is
+   L1 — one L2 load + L1 traffic per position. Same candidate order,
+   masks and escape rule as before, so the token stream is unchanged.
+
+   `data` MUST have >=8 readable slack bytes past data_len (caller
+   pads): the unconditional 8-byte load reads garbage there, but the
+   rem>=len guard keeps it out of every comparison.
+
+   The candidate table is a fixed 3-slot u16 matrix cand3[pref*3+k] =
+   len<<8 | code (384 KB, L2-resident — vs the old 65536 x k_max int64
+   table's ~1.5 MB of L3-latency loads). Sentinel slots carry code 255
+   (never a real code: symbols are 0..254) whose padded sym_vals entry
+   0x100 exceeds any 1-byte masked window, so sentinels can never
+   match; the early-break candidate loop therefore behaves exactly
+   like the old -1-terminated scan, longest-first. (A fully
+   branch-free cmov variant and a 4-lane interleaved variant were both
+   measured SLOWER on this data — the branches predict well and the
+   extra always-evaluated loads dominate.)
    Returns total output bytes; per-lane byte counts in lane_out_lens. */
 long fsst_encode_lanes(
     const uint8_t* data, long data_len,
     const int64_t* lane_start, const int64_t* lane_end, long n_lanes,
-    const int64_t* prefix_flat, long k_max,
-    const int64_t* sym_lens, const uint64_t* sym_vals,
+    const uint16_t* cand3,
+    const uint64_t* sym_vals,   /* 256 entries; [255] = 0x100 sentinel */
     const int64_t* t1,
     uint8_t* out, int64_t* lane_out_lens)
 {
@@ -54,28 +76,24 @@ long fsst_encode_lanes(
         0ULL, 0xFFULL, 0xFFFFULL, 0xFFFFFFULL, 0xFFFFFFFFULL,
         0xFFFFFFFFFFULL, 0xFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFULL,
         0xFFFFFFFFFFFFFFFFULL};
+    (void)data_len;
     long o = 0;
     for (long L = 0; L < n_lanes; L++) {
         int64_t pos = lane_start[L];
         const int64_t end = lane_end[L];
         const long o0 = o;
         while (pos < end) {
-            uint64_t w = 0;
-            const long avail = data_len - pos;
-            memcpy(&w, data + pos, avail >= 8 ? 8 : avail);
+            uint64_t w;
+            memcpy(&w, data + pos, 8);  /* padded: always safe */
             const long rem = end - pos;
-            int64_t code = -1;
+            const uint16_t* s = cand3 + (w & 0xFFFFULL) * 3;
+            long code = -1;
             long mlen = 1;
-            if (k_max > 0) {
-                const uint32_t pref = (uint32_t)(w & 0xFFFFULL);
-                const int64_t* cands = prefix_flat + (long)pref * k_max;
-                for (long k = 0; k < k_max; k++) {
-                    const int64_t c = cands[k];
-                    if (c < 0) break;
-                    const long cl = (long)sym_lens[c];
-                    if (rem >= cl && (w & MASKS[cl]) == sym_vals[c]) {
-                        code = c; mlen = cl; break;
-                    }
+            for (long k = 0; k < 3; k++) {
+                const long c = s[k] & 0xFF;
+                const long cl = s[k] >> 8;
+                if (rem >= cl && (w & MASKS[cl]) == sym_vals[c]) {
+                    code = c; mlen = cl; break;
                 }
             }
             if (code >= 0) {
@@ -194,15 +212,20 @@ def _compile() -> str | None:
     with open(c_path, "w") as f:
         f.write(_C_SRC)
     tmp_so = os.path.join(tmpdir, "fsst_kernel.so")
-    try:
-        subprocess.run(
-            [cc, "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
-            check=True, capture_output=True, timeout=120,
-        )
-        os.replace(tmp_so, so_path)  # atomic under concurrent workers
-        return so_path
-    except (OSError, subprocess.SubprocessError):
-        return None
+    # -march=native when the toolchain supports it (the .so is cached
+    # per-host under its temp dir, so host-specific codegen is safe);
+    # plain -O3 otherwise
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                [cc, "-O3", *extra, "-shared", "-fPIC", "-o", tmp_so, c_path],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp_so, so_path)  # atomic under concurrent workers
+            return so_path
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
 
 
 def native_lib():
@@ -224,13 +247,14 @@ def native_lib():
         return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.fsst_encode_lanes.restype = ctypes.c_long
     lib.fsst_encode_lanes.argtypes = [
-        u8p, ctypes.c_long,          # data, data_len
+        u8p, ctypes.c_long,          # data (8B padded), data_len
         i64p, i64p, ctypes.c_long,   # lane_start, lane_end, n_lanes
-        i64p, ctypes.c_long,         # prefix_flat, k_max
-        i64p, u64p,                  # sym_lens, sym_vals
+        u16p,                        # cand3 (65536*3: len<<8 | code)
+        u64p,                        # sym_vals (256, [255]=sentinel)
         i64p,                        # t1
         u8p, i64p,                   # out, lane_out_lens
     ]

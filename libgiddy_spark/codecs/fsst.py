@@ -83,6 +83,27 @@ class SymbolTable:
             self.k_max = 0
             self.prefix = np.full((65536, 0), -1, dtype=np.int64)
             self.prefix_flat = self.prefix.ravel()
+        # Branch-free C fast-path tables (see _native.py): fixed 3-slot
+        # u16 candidate matrix (len<<8 | code, 384 KB — vs the 65536 x
+        # k_max int64 table's ~1.5 MB of L3-latency loads) + padded
+        # sym_vals. Sentinel slots use code 255 (never a real code:
+        # symbols are 0..254) whose padded value 0x100 exceeds any
+        # 1-byte masked window, so sentinels can never match. Slot
+        # order per prefix = (longest-first) — same as prefix_flat, so
+        # the token stream is identical. Tables with >3 candidates per
+        # prefix (train caps at 3; only hand-built tables exceed it)
+        # fall back to the numpy encoder.
+        _SENTINEL = (1 << 8) | 255
+        self.cand3 = np.full(65536 * 3, _SENTINEL, dtype=np.uint16)
+        if multi and self.k_max <= 3:
+            packed = ((self.lens[multi_arr] << 8) | multi_arr).astype(np.uint16)
+            slot3 = np.zeros(65536, dtype=np.int64)
+            for val, p in zip(packed, pref):  # <=255 symbols: cheap
+                self.cand3[p * 3 + slot3[p]] = val
+                slot3[p] += 1
+        self.vals64_pad = np.zeros(256, dtype=np.uint64)
+        self.vals64_pad[: len(vals64)] = vals64
+        self.vals64_pad[255] = 0x100
 
     def serialize(self) -> bytes:
         lens = bytes(self.lens.astype(np.uint8).tobytes())
@@ -164,7 +185,10 @@ def encode_tokens(col: StrCol, table: SymbolTable):
     from ._native import native_lib
 
     lib = native_lib()
-    if lib is not None:
+    # the C fast path's fixed 3-slot candidate matrix can't represent
+    # >3 candidates per 2-byte prefix (train caps at 3; only hand-built
+    # tables exceed it) — numpy handles those
+    if lib is not None and table.k_max <= 3:
         return _encode_tokens_native(col, table, lib)
     return _encode_tokens_numpy(col, table)
 
@@ -175,22 +199,21 @@ def _encode_tokens_native(col: StrCol, table: SymbolTable, lib):
     n_lanes = len(lane_start)
     if n_lanes == 0:
         return np.zeros(0, np.uint8), np.zeros(n, np.int64)
-    data = np.ascontiguousarray(col.data)
+    # 8 slack bytes so the kernel's unconditional 8-byte window load
+    # never reads past the allocation (rem>=len masks the garbage out)
+    data_len = len(col.data)
+    data = np.empty(data_len + 8, dtype=np.uint8)
+    data[:data_len] = col.data
+    data[data_len:] = 0
     total = int((lane_end - lane_start).sum())
     out = np.empty(2 * total + 8, dtype=np.uint8)
     lane_out = np.zeros(n_lanes, dtype=np.int64)
-    prefix_flat = (
-        np.ascontiguousarray(table.prefix_flat)
-        if table.k_max
-        else np.zeros(1, np.int64)
-    )
     nbytes = lib.fsst_encode_lanes(
-        data, len(data),
+        data, data_len,
         np.ascontiguousarray(lane_start), np.ascontiguousarray(lane_end),
         n_lanes,
-        prefix_flat, table.k_max,
-        np.ascontiguousarray(table.lens_safe),
-        np.ascontiguousarray(table.vals64),
+        np.ascontiguousarray(table.cand3),
+        np.ascontiguousarray(table.vals64_pad),
         np.ascontiguousarray(table.t1),
         out, lane_out,
     )
