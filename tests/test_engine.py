@@ -289,3 +289,24 @@ def test_decode_part_filter_lists_only_needed_chunks(spark, tmp_path):
     dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"),
                         part_ids=[2])
     assert dec.select("part_id").distinct().collect()[0][0] == 2
+
+
+def test_encode_plan_single_exchange(spark):
+    """The encode path's ONE wide op is the range exchange on
+    (part_id, salt); anything more is a regression (e.g. a per-row
+    expression forcing a second shuffle)."""
+    from libgiddy_spark.blocks import BLOCKS_DDL, make_encode_stream
+    from libgiddy_spark.skew import apply_salting, footer_byte_stats, salt_factors
+    from libgiddy_spark.table_io import list_parquet_files, load_part_files
+
+    src = f"{SF}/documents.parquet"
+    files = [(0, rel) for rel, _ in list_parquet_files(src)]
+    sub = load_part_files(spark, src, files)
+    stats = footer_byte_stats(src, files, ["text"])
+    factors = salt_factors(stats, target_bytes=1 << 20)
+    salted = apply_salting(sub, factors, "doc_id", shuffle_parts=4)
+    enc = salted.sortWithinPartitions("part_id", "salt", "doc_id").mapInArrow(
+        make_encode_stream(["doc_id", "text"]), schema=BLOCKS_DDL
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

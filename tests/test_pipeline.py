@@ -379,3 +379,16 @@ def test_ivf_assign_and_topk(spark):
         qdots = [(int(q[r["query_id"]] @ q[c]), -c) for c in range(4)]
         probed = sorted(range(4), key=lambda c: qdots[c], reverse=True)[:2]
         assert got[r["neighbor_id"]] in probed
+
+
+def test_ivf_plan_no_cartesian(spark):
+    """IVF assignment is a 16-row BROADCAST expansion, never a
+    cartesian: the physical plan must contain no CartesianProduct."""
+    from libgiddy_spark.pipeline import topk_neighbors_ivf
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = topk_neighbors_ivf(df, k=2, n_queries=2, n_lists=4, nprobe=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # centroids + query vectors
