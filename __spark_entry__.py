@@ -481,7 +481,7 @@ _PROBES_SQL = "(VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) d(d)"
 # IVF: sampled centroids (vec_id < 16), affinity rank per vector
 # (mirrors similarity.py _centroids + _ivf_rank: max dot, ties -> cid)
 _IVF_RANK_CTES = (
-    "cent AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 16), "
+    "cent AS (SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 16), "
     "rnk AS (SELECT q.vec_id, cent.cid, "
     + _QDOT.format(a="q.q", b="cent.cq")
     + " AS cdot FROM q, cent), "

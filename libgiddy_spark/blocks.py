@@ -108,6 +108,10 @@ def encode_group(
                 dense = arr.drop_null() if arr.null_count else arr
                 fsst_table = fsst_mod.train(strcol_of(dense).data)
             if selector_cache is not None:
+                # the manifest aggregates codec_params with first():
+                # mark that any slice's recorded stats were sampled on
+                # ONE salt slice, so n/min/max aren't read as whole-part
+                stats = {**stats, "stats_scope": "first-salt-slice-sample"}
                 selector_cache[col_name] = (codec, stats, fsst_table)
         params = json.dumps({"stats": stats}, separators=(",", ":"))
         for seq, start in enumerate(range(0, max(n, 1), block_rows)):

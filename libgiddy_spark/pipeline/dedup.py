@@ -262,6 +262,22 @@ def connected_components(
             break
         prev = s
     if not converged:
+        # the witness needs one observation round AFTER the last merge:
+        # a graph that stabilizes exactly at round max_iter is complete
+        # but unobserved — verify with one more (cheap, rare) round
+        # before accusing the result of being under-merged
+        nbr = (
+            edges.join(labels, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("node"), F.col("label"))
+            .groupBy("node").agg(F.min("label").alias("nbr_label"))
+        )
+        check = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("label", "nbr_label").alias("label"))
+        )
+        s = check.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        converged = s == prev
+    if not converged:
         import warnings
 
         warnings.warn(

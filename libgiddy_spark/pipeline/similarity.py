@@ -194,10 +194,13 @@ IVF_NPROBE = 2
 
 def _centroids(qdf: DataFrame, key: str, n_lists: int) -> DataFrame:
     """Deterministic sampled centroids: the quantized vectors of the
-    first n_lists keys (IVF coarse quantizers from a data sample — the
-    standard bootstrap; a k-means refinement would slot in here).
+    n_lists SMALLEST keys (IVF coarse quantizers from a data sample —
+    the standard bootstrap; a k-means refinement would slot in here).
+    orderBy+limit, not `key < n_lists`: a key space that doesn't
+    contain 0..n_lists-1 (offset ids, string/uuid keys) would
+    otherwise yield zero centroids and a silently EMPTY result.
     Tiny by construction -> always broadcast."""
-    return qdf.filter(F.col(key) < n_lists).select(
+    return qdf.orderBy(key).limit(n_lists).select(
         F.col(key).alias("cid"), F.col("q").alias("cq")
     )
 
@@ -212,6 +215,16 @@ def _ivf_rank(qdf: DataFrame, cents: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _assign_from(qdf: DataFrame, cents: DataFrame, key: str) -> DataFrame:
+    """(key, list_id) from pre-built quantized vectors + centroids —
+    shared by ivf_assign and topk_neighbors_ivf so the corpus is
+    quantized and the centroids built exactly once per plan."""
+    ranked = _ivf_rank(qdf, cents, key)
+    return ranked.groupBy(key).agg(
+        F.max_by("cid", F.struct(F.col("cdot"), -F.col("cid"))).alias("list_id")
+    )
+
+
 def ivf_assign(
     df: DataFrame, key: str = "vec_id", emb: str = "embedding",
     n_lists: int = N_IVF_LISTS,
@@ -221,10 +234,7 @@ def ivf_assign(
     groupBy on the vector key; at 10^9 rows each list is an
     independent, joinable partition of the corpus."""
     qdf = _quantized(df, key, emb)
-    ranked = _ivf_rank(qdf, _centroids(qdf, key, n_lists), key)
-    return ranked.groupBy(key).agg(
-        F.max_by("cid", F.struct(F.col("cdot"), -F.col("cid"))).alias("list_id")
-    )
+    return _assign_from(qdf, _centroids(qdf, key, n_lists), key)
 
 
 def topk_neighbors_ivf(
@@ -239,8 +249,9 @@ def topk_neighbors_ivf(
     multi-probe bit flips."""
     qdf = _quantized(df, key, emb)
     cents = _centroids(qdf, key, n_lists)
-    assigned = ivf_assign(df, key, emb, n_lists)
-    ranked = _ivf_rank(qdf.filter(F.col(key) < n_queries), cents, key)
+    assigned = _assign_from(qdf, cents, key)
+    queries = qdf.filter(F.col(key) < n_queries)
+    ranked = _ivf_rank(queries, cents, key)
     w = Window.partitionBy(key).orderBy(F.desc("cdot"), F.asc("cid"))
     probes = (
         ranked.withColumn("pr", F.row_number().over(w))
@@ -253,7 +264,9 @@ def topk_neighbors_ivf(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = qdf.select(F.col(key).alias("query_id"), F.col("q").alias("qq"))
+    # broadcast ONLY the query vectors (tiny); broadcasting the full
+    # quantized corpus here would build an unbounded exchange
+    qa = queries.select(F.col(key).alias("query_id"), F.col("q").alias("qq"))
     qb = qdf.select(F.col(key).alias("neighbor_id"), F.col("q").alias("qn"))
     scored = (
         cand.join(F.broadcast(qa), "query_id").join(qb, "neighbor_id")
@@ -282,11 +295,13 @@ def embedding_near_dup_stats(
     accident; use :func:`embedding_near_dups_lsh` (same predicate,
     bucket-keyed join) at scale, or pass max_exact_rows=None to force."""
     if max_exact_rows is not None:
-        n = df.count()
+        # limit+count reads at most max_exact_rows+1 rows — the guard
+        # itself must not scan the very input it protects against
+        n = df.limit(max_exact_rows + 1).count()
         if n > max_exact_rows:
             raise ValueError(
                 f"embedding_near_dup_stats is the O(n^2) exact baseline; "
-                f"input has {n} rows > max_exact_rows={max_exact_rows}. "
+                f"input exceeds max_exact_rows={max_exact_rows}. "
                 "Use embedding_near_dups_lsh (the scale path) or pass "
                 "max_exact_rows=None to force the cartesian."
             )

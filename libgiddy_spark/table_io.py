@@ -63,29 +63,37 @@ def _norm_uri(p: str) -> str:
     return p
 
 
+# characters Java's URI rendering leaves RAW in a path (RFC 3986
+# pchar: unreserved + sub-delims + ":" "@"); quoting more than Java
+# does (e.g. ':') would produce keys the metadata column never matches
+_URI_PATH_SAFE = "/:@!$&'()*+,;=-._~"
+
+
 def _path_spellings(p: str) -> list[str]:
-    """Every way Spark/Hadoop may render this source path in
+    """Every way Spark/Hadoop may render this LOCAL source path in
     ``_metadata.file_path``, computed ON THE DRIVER so the per-row
     expression stays a plain literal-map lookup (the round-2 per-row
     regexp_replace normalization measured a 2.9x encode slowdown on
     int-heavy tables — VERDICT r2 finding 1)."""
     from urllib.parse import quote
 
+    ap = os.path.abspath(p)
     out: list[str] = []
-    if "://" in p or (":" in p.split("/", 1)[0] if "/" in p else False):
-        # remote URI (hdfs://, s3a://, ...): raw + scheme-stripped form
-        out = [p, _norm_uri(p)]
-    else:
-        ap = os.path.abspath(p)
-        # Hadoop renders local paths as file:/abs, file://abs or
-        # file:///abs depending on code path; percent-encoded variants
-        # cover filenames with spaces / non-ASCII
-        for base in (ap, quote(ap, safe="/")):
-            out += [base, f"file:{base}", f"file://{base}", f"file:///{base.lstrip('/')}"]
+    # Hadoop renders local paths as file:/abs, file://abs or
+    # file:///abs depending on code path; the percent-encoded variant
+    # (Java URI rules: spaces/non-ASCII quoted, pchar kept raw) covers
+    # filenames with spaces / non-ASCII
+    for base in (ap, quote(ap, safe=_URI_PATH_SAFE)):
+        out += [base, f"file:{base}", f"file://{base}", f"file:///{base.lstrip('/')}"]
     seen: dict[str, None] = {}
     for s in out:
         seen.setdefault(s)
     return list(seen)
+
+
+def _norm_uri_col(c):
+    stripped = F.regexp_replace(c, _SCHEME_RE, "")
+    return F.regexp_replace(stripped, r"^/+", "/")
 
 
 def load_part_files(
@@ -97,20 +105,36 @@ def load_part_files(
     row with its part_id via ``_metadata.file_path`` (tiny literal map,
     no UDF, no extra scan).
 
-    All URI spelling variants are emitted as literal map keys by the
+    LOCAL paths (the hot path, and the only case in this sandbox): all
+    URI spelling variants are emitted as literal map keys by the
     DRIVER, so the per-row expression is a single map lookup plus a
-    null check — no per-row regex. An unmapped file still raises inside
-    the plan (coalesce only evaluates raise_error when the lookup
-    missed) instead of silently collapsing rows into a part_id=-1
-    mega-group (one giant task + wrong manifest keys + broken resume)."""
+    null check — no per-row regex (the round-2 per-row normalization
+    cost 2.9x on int-heavy encodes). REMOTE paths (hdfs://, s3a://):
+    Hadoop may re-render the authority (add default ports, canonicalize
+    case), which literal spellings can't anticipate — there the lookup
+    normalizes BOTH sides (scheme stripped, slashes collapsed) with two
+    per-row regexes, acceptable where network IO dominates anyway.
+
+    Either way an unmapped file raises inside the plan (coalesce only
+    evaluates raise_error when the lookup missed) instead of silently
+    collapsing rows into a part_id=-1 mega-group (one giant task +
+    wrong manifest keys + broken resume)."""
+    from urllib.parse import quote
+
     paths = [abs_file_of(path, rel) for _pid, rel in part_files]
     df = spark.read.parquet(*paths)
+    remote = any("://" in p for p in paths)
     kv = []
     for (pid, _rel), p in zip(part_files, paths):
-        for key in _path_spellings(p):
+        if remote:
+            keys = {_norm_uri(p), _norm_uri(quote(p, safe=_URI_PATH_SAFE))}
+        else:
+            keys = _path_spellings(p)
+        for key in keys:
             kv += [F.lit(key), F.lit(pid)]
     m = F.create_map(*kv)
-    mapped = m[F.col("_metadata.file_path")]
+    col = F.col("_metadata.file_path")
+    mapped = m[_norm_uri_col(col) if remote else col]
     guard = F.raise_error(
         F.concat(
             F.lit("libgiddy_spark: source file not in part map: "),

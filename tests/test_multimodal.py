@@ -52,7 +52,9 @@ def test_bmp_rejects_non_24bpp():
 
 
 def test_wav_roundtrip_and_chunk_walk(rng):
-    for n in [1, 7, 256, 319]:  # odd byte counts exercise word padding
+    # int16 mono data chunks are always even-length; the odd-size
+    # chunk-walk path is exercised by test_wav_skips_extra_chunks
+    for n in [1, 7, 256, 319]:
         s = rng.integers(-32768, 32768, size=n).astype(np.int16)
         buf = encode_wav(s, sample_rate=12345)
         rate, channels, out = decode_wav(buf)

@@ -392,3 +392,20 @@ def test_ivf_plan_no_cartesian(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # centroids + query vectors
+
+
+def test_ivf_assign_offset_keys_not_empty(spark):
+    """Centroids come from the n_lists smallest keys, not literal ids
+    0..n-1: a key space starting at 1000 must still assign every
+    vector (review finding: `key < n_lists` silently emptied it)."""
+    import numpy as np
+
+    from libgiddy_spark.pipeline import ivf_assign
+
+    rng = np.random.default_rng(3)
+    rows = [(1000 + i, [float(x) for x in rng.normal(size=4)])
+            for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_assign(df, n_lists=4).collect()
+    assert len(got) == 32
+    assert {r["list_id"] for r in got} <= set(range(1000, 1004))
