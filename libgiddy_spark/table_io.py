@@ -69,6 +69,20 @@ def _norm_uri(p: str) -> str:
 _URI_PATH_SAFE = "/:@!$&'()*+,;=-._~"
 
 
+def _java_uri_quote(s: str) -> str:
+    """Percent-encode the way java.net.URI#toString renders a path:
+    disallowed ASCII (space, '"', '#', '%', ...) becomes %XX but
+    characters >= U+0080 stay RAW (Java only ASCII-escapes them in
+    toASCIIString, which Hadoop's Path.toString does not use)."""
+    from urllib.parse import quote
+
+    return "".join(
+        ch if (ord(ch) >= 0x80 or ch.isalnum() or ch in _URI_PATH_SAFE)
+        else quote(ch, safe="")
+        for ch in s
+    )
+
+
 def _path_spellings(p: str) -> list[str]:
     """Every way Spark/Hadoop may render this LOCAL source path in
     ``_metadata.file_path``, computed ON THE DRIVER so the per-row
@@ -80,10 +94,11 @@ def _path_spellings(p: str) -> list[str]:
     ap = os.path.abspath(p)
     out: list[str] = []
     # Hadoop renders local paths as file:/abs, file://abs or
-    # file:///abs depending on code path; the percent-encoded variant
-    # (Java URI rules: spaces/non-ASCII quoted, pchar kept raw) covers
-    # filenames with spaces / non-ASCII
-    for base in (ap, quote(ap, safe=_URI_PATH_SAFE)):
+    # file:///abs depending on code path; the quoted variants cover
+    # filenames with spaces / sub-delims / non-ASCII — both the Java
+    # toString rendering (non-ASCII raw, observed in _metadata) and
+    # the fully-ASCII toASCIIString form
+    for base in (ap, _java_uri_quote(ap), quote(ap, safe=_URI_PATH_SAFE)):
         out += [base, f"file:{base}", f"file://{base}", f"file:///{base.lstrip('/')}"]
     seen: dict[str, None] = {}
     for s in out:

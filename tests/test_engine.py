@@ -310,3 +310,24 @@ def test_encode_plan_single_exchange(spark):
     )
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_encode_source_file_with_special_chars(spark, tmp_path):
+    """Filenames with spaces / sub-delims / non-ASCII must map to part
+    ids (Java URI rendering percent-encodes spaces but keeps '=' ','
+    '(' raw — the literal part map carries both spellings). ':' is
+    excluded: Hadoop's Path cannot represent it at all ("Relative path
+    in absolute URI"), independent of our mapping."""
+    import shutil
+
+    src_dir = tmp_path / "specials"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet",
+                src_dir / "a b,d=e (fünf).parquet")
+    out = str(tmp_path / "sp_out")
+    s = encode_snapshot(spark, str(src_dir), out, key_col="doc_id")
+    assert s["encoded_parts"] == 1
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
+    rep = verify_roundtrip(
+        spark.read.parquet(str(src_dir)), dec, "doc_id")
+    assert rep["ok"], rep
