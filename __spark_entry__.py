@@ -325,6 +325,15 @@ def q_embedding_topk_ivf(spark, sf_dir):
     return topk_neighbors_ivf(_embs(spark, sf_dir))
 
 
+def q_embedding_ivf_refined(spark, sf_dir):
+    """IVF assignment after ONE Lloyd iteration (element-wise exact
+    integer-mean centroids, truncating division matching DuckDB //) —
+    the refined inverted lists a production IVF index serves from."""
+    from libgiddy_spark.pipeline import ivf_assign_refined
+
+    return ivf_assign_refined(_embs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Format-agnostic binary-column feature path (byte-histogram
     kernel; real media decode is multimodal_decode_image/_audio),
@@ -534,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_ivf_assign": q_embedding_ivf_assign,
+        "embedding_ivf_refined": q_embedding_ivf_refined,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_image": q_multimodal_decode_image,
@@ -715,6 +725,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_assign":
             f"{_QEMB_CTE}, {_IVF_RANK_CTES} "
             "SELECT vec_id, cid AS list_id FROM arnk WHERE rn = 1",
+        "embedding_ivf_refined":
+            f"{_QEMB_CTE}, {_IVF_RANK_CTES}, "
+            "asg AS (SELECT vec_id, cid FROM arnk WHERE rn = 1), "
+            "ref AS (SELECT a.cid AS cid, list_value("
+            + ", ".join(
+                f"CAST(SUM(q.q[{d + 1}]) AS BIGINT) // COUNT(*)"
+                for d in range(64)
+            )
+            + ") AS cq FROM asg a JOIN q ON q.vec_id = a.vec_id "
+            "GROUP BY a.cid), "
+            "rnk2 AS (SELECT q.vec_id, ref.cid, "
+            + _QDOT.format(a="q.q", b="ref.cq")
+            + " AS cdot FROM q, ref), "
+            "a2 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY "
+            "vec_id ORDER BY cdot DESC, cid ASC) AS rn FROM rnk2) "
+            "SELECT vec_id, cid AS list_id FROM a2 WHERE rn = 1",
         "embedding_topk_ivf":
             f"{_QEMB_CTE}, {_IVF_RANK_CTES}, "
             "asg AS (SELECT vec_id AS neighbor_id, cid AS list_id "

@@ -33,6 +33,8 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_stats,
     embedding_near_dups_lsh,
     ivf_assign,
+    ivf_assign_refined,
+    ivf_refine,
     lsh_ann_buckets,
     topk_neighbors,
     topk_neighbors_ivf,

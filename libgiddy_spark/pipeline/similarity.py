@@ -225,6 +225,51 @@ def _assign_from(qdf: DataFrame, cents: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _itdiv(num, den):
+    """Exact integer division TRUNCATING toward zero (DuckDB's ``//``
+    semantics — which truncates, unlike Python's floor): num may be
+    negative (centroid coordinate sums), den positive. Same no-float-
+    hazard construction as text.idiv."""
+    q = ((F.abs(num) - F.pmod(F.abs(num), den)) / den).cast("long")
+    return F.when(num < 0, -q).otherwise(q)
+
+
+def ivf_refine(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    n_lists: int = N_IVF_LISTS, dim: int = 64,
+) -> DataFrame:
+    """One Lloyd iteration on the sampled centroids -> (cid, cq).
+
+    New centroid = element-wise EXACT integer mean (truncating
+    division) of the list's member vectors; lists that attracted no
+    members drop out (the remaining centroids re-absorb their space on
+    re-assignment). Element-wise sums are 64 JVM-side aggregates on
+    the grouped frame — no explode, one shuffle on list_id."""
+    qdf = _quantized(df, key, emb)
+    cents = _centroids(qdf, key, n_lists)
+    asg = _assign_from(qdf, cents, key)
+    sums = qdf.join(asg, key).groupBy("list_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(dim)],
+    )
+    return sums.select(
+        F.col("list_id").alias("cid"),
+        F.array(*[_itdiv(F.col(f"s{d}"), F.col("n")) for d in range(dim)]).alias("cq"),
+    )
+
+
+def ivf_assign_refined(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    n_lists: int = N_IVF_LISTS, dim: int = 64,
+) -> DataFrame:
+    """IVF list assignment against the Lloyd-refined centroids
+    (sampled bootstrap -> one k-means step -> re-assign): the refined
+    inverted lists a production IVF index would serve from."""
+    qdf = _quantized(df, key, emb)
+    refined = ivf_refine(df, key, emb, n_lists, dim)
+    return _assign_from(qdf, refined, key)
+
+
 def ivf_assign(
     df: DataFrame, key: str = "vec_id", emb: str = "embedding",
     n_lists: int = N_IVF_LISTS,

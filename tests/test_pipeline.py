@@ -409,3 +409,27 @@ def test_ivf_assign_offset_keys_not_empty(spark):
     got = ivf_assign(df, n_lists=4).collect()
     assert len(got) == 32
     assert {r["list_id"] for r in got} <= set(range(1000, 1004))
+
+
+def test_ivf_refine_integer_mean_with_negatives(spark):
+    """Refined centroid = element-wise integer mean with TRUNCATING
+    division (DuckDB // semantics): negative coordinate sums must
+    truncate toward zero, not floor."""
+    import numpy as np
+
+    from libgiddy_spark.pipeline import ivf_assign, ivf_refine
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = {r["vec_id"]: r["list_id"] for r in ivf_assign(df, n_lists=4).collect()}
+    ref = {r["cid"]: r["cq"] for r in ivf_refine(df, n_lists=4, dim=4).collect()}
+    q = {i: np.floor(np.array(v, dtype=np.float64) * 100).astype(np.int64)
+         for i, v in rows}
+    for cid, cq in ref.items():
+        members = [q[i] for i, c in asg.items() if c == cid]
+        sums = np.sum(members, axis=0)
+        n = len(members)
+        expect = [int(s) // n if s >= 0 else -((-int(s)) // n) for s in sums]
+        assert list(cq) == expect, (cid, list(cq), expect)
+    assert any(any(v < 0 for v in cq) for cq in ref.values())  # hazard hit
