@@ -110,6 +110,32 @@ def q_roundtrip_events(spark, sf_dir):
                ["event_id", "ts", "user_id", "event_type", "props"])
 
 
+def q_roundtrip_pruned_range(spark, sf_dir):
+    """Zone-map pruned decode: per-block sort-key min/max written at
+    encode time prune non-overlapping blocks at parquet row-group
+    level; the exact predicate then runs on the (much smaller) decoded
+    frame. Oracle = plain BETWEEN over the raw source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import decode_blocks, encode_snapshot
+
+    src = f"{sf_dir}/lineitem.parquet"
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    out = tempfile.mkdtemp(prefix="lgs_zm_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    encode_snapshot(spark, src, out, key_col="l_orderkey", columns=cols)
+    schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    dec = decode_blocks(spark, out, schema, key_range=(1000, 3000))
+    return dec.filter(
+        (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 3000)
+    ).select(*cols)
+
+
 def q_codec_stats_lang(spark, sf_dir):
     """Selector input stats (cardinality drivers) computed from DECODED
     rows — proves dict decode preserves the exact value distribution."""
@@ -523,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_dzbv_keys": q_roundtrip_dzbv_keys,
         "roundtrip_bitmap_linenumber": q_roundtrip_bitmap_linenumber,
         "roundtrip_events": q_roundtrip_events,
+        "roundtrip_pruned_range": q_roundtrip_pruned_range,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
@@ -571,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem",
         "roundtrip_events":
             "SELECT event_id, ts, user_id, event_type, props FROM events",
+        "roundtrip_pruned_range":
+            "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_orderkey BETWEEN 1000 AND 3000",
         "codec_stats_lang":
             "SELECT lang, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs "
             "FROM documents GROUP BY lang ORDER BY lang",

@@ -40,13 +40,20 @@ BLOCKS_SCHEMA = pa.schema(
         ("enc_bytes", pa.int64()),
         ("payload", pa.binary()),
         ("sha256", pa.string()),
+        # zone map: sort-key min/max of the block's row range (groups are
+        # sorted by the sort key, so block i's range = [first, last value
+        # of its slice]); null when the sort key isn't integral/timestamp.
+        # Written into parquet column stats -> a key-range decode prunes
+        # whole row groups before any payload byte is read.
+        ("key_lo", pa.int64()),
+        ("key_hi", pa.int64()),
     ]
 )
 
 BLOCKS_DDL = (
     "part_id int, salt int, block_seq int, column string, codec string, "
     "codec_params string, n_values long, raw_bytes long, enc_bytes long, "
-    "payload binary, sha256 string"
+    "payload binary, sha256 string, key_lo long, key_hi long"
 )
 
 
@@ -77,6 +84,7 @@ def encode_group(
     forced_codecs: dict[str, str] | None = None,
     block_rows: int = BLOCK_ROWS,
     selector_cache: dict | None = None,
+    zone_key: str | None = None,
 ) -> pa.Table:
     """Encode one (part_id, salt) group of source rows into block rows.
 
@@ -91,6 +99,15 @@ def encode_group(
     cols = columns or [c for c in table.column_names if c not in ("part_id", "salt")]
     out: dict[str, list] = {name: [] for name in BLOCKS_SCHEMA.names}
     n = table.num_rows
+    # per-block zone map from the (sorted) sort key: lo/hi = the slice's
+    # first/last value; None when the key isn't an ordered integer type
+    zone_vals = None
+    if zone_key is not None and zone_key in table.column_names and n:
+        zk = _normalize(table.column(zone_key))
+        if pa.types.is_timestamp(zk.type):
+            zk = zk.cast(pa.int64())
+        if pa.types.is_integer(zk.type) and zk.null_count == 0:
+            zone_vals = zk.cast(pa.int64()).to_numpy(zero_copy_only=False)
     for col_name in cols:
         arr = _normalize(table.column(col_name))
         cached = selector_cache.get(col_name) if selector_cache is not None else None
@@ -130,6 +147,12 @@ def encode_group(
             out["enc_bytes"].append(meta["enc_bytes"])
             out["payload"].append(payload)
             out["sha256"].append(hashlib.sha256(payload).hexdigest())
+            if zone_vals is not None and len(chunk):
+                out["key_lo"].append(int(zone_vals[start]))
+                out["key_hi"].append(int(zone_vals[min(start + block_rows, n) - 1]))
+            else:
+                out["key_lo"].append(None)
+                out["key_hi"].append(None)
             if n == 0:
                 break
     return pa.table(out, schema=BLOCKS_SCHEMA)
@@ -140,6 +163,7 @@ def make_encode_stream(
     sort_key: str | None = None,
     forced_codecs: dict[str, str] | None = None,
     block_rows: int = BLOCK_ROWS,
+    zone_key: str | None = None,
 ):
     """Streaming per-task encoder for ``mapInArrow`` over data that was
     range-repartitioned and sorted by (part_id, salt, sort_key).
@@ -172,6 +196,7 @@ def make_encode_stream(
                 forced_codecs=forced_codecs,
                 block_rows=block_rows,
                 selector_cache=part_cache,
+                zone_key=zone_key,  # rows arrive sorted by it (JVM sort)
             )
             yield from out.to_batches()
 

@@ -137,7 +137,8 @@ def encode_files(
     encoded_parts = 0
 
     encode_fn = make_encode_stream(
-        data_cols, forced_codecs=forced_codecs, block_rows=block_rows
+        data_cols, forced_codecs=forced_codecs, block_rows=block_rows,
+        zone_key=sort_key,
     )
 
     for lo in range(0, len(pending), chunk_parts):
@@ -269,6 +270,7 @@ def decode_blocks(
     out_dir: str,
     schema: pa.Schema,
     part_ids: list[int] | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Blocks -> original rows (+ part_id), SHUFFLE-FREE.
 
@@ -287,7 +289,13 @@ def decode_blocks(
     in-flight task files are invisible by construction (the manifest
     line is the commit point), a part-id filter prunes whole chunk
     dirs before any listing happens, and at 100 TB the driver never
-    enumerates the full blocks tree to decode one part."""
+    enumerates the full blocks tree to decode one part.
+
+    ``key_range=(lo, hi)`` (inclusive, sort-key values as int64) prunes
+    via the per-block ZONE MAPS (key_lo/key_hi columns): overlapping
+    blocks only, skipped at parquet row-group level before any payload
+    byte is read. Block-granular — callers apply the exact row predicate
+    on the decoded frame."""
     files = _committed_block_files(out_dir, part_ids)
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
@@ -296,6 +304,20 @@ def decode_blocks(
     if not files:
         return spark.createDataFrame([], ddl)
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
+    krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
+    if krange is not None and files:
+        # fail loudly, not silently-empty: a table sorted by a
+        # non-integral key has all-null zone maps, which the overlap
+        # filter would exclude wholesale (one tiny column read, driver)
+        import pyarrow.parquet as _pq
+
+        zl = _pq.read_table(files[0], columns=["key_lo"]).column(0)
+        if len(zl) and zl.null_count == len(zl):
+            raise ValueError(
+                "key_range decode requires zone maps, which are only "
+                "written for integral/timestamp sort keys — this table "
+                "has none (string sort key?)"
+            )
 
     wanted_cols = sorted(f.name for f in schema)
 
@@ -311,6 +333,13 @@ def decode_blocks(
                 flt = [("column", "in", wanted_cols)]
                 if wanted is not None:
                     flt.append(("part_id", "in", wanted))
+                if krange is not None:
+                    # zone-map pruning: keep blocks whose sort-key range
+                    # overlaps [lo, hi] (null zone maps never match —
+                    # correct only because key_range is documented as
+                    # requiring a zone-mapped (integral) sort key)
+                    flt.append(("key_hi", ">=", krange[0]))
+                    flt.append(("key_lo", "<=", krange[1]))
                 tbl = pq.read_table(
                     path,
                     columns=["part_id", "salt", "block_seq", "column", "payload"],

@@ -331,3 +331,42 @@ def test_encode_source_file_with_special_chars(spark, tmp_path):
     rep = verify_roundtrip(
         spark.read.parquet(str(src_dir)), dec, "doc_id")
     assert rep["ok"], rep
+
+
+def test_zone_map_pruned_decode(spark, tmp_path):
+    """key_range decode returns only blocks overlapping the range (fewer
+    rows than the table BEFORE the exact filter), and the exact filter
+    over it equals the source filter."""
+    src = f"{SF}/events.parquet"
+    out = str(tmp_path / "zm")
+    encode_snapshot(spark, src, out, key_col="event_id", block_rows=64)
+    schema = pq.read_schema(src)
+    lo, hi = 200, 330  # sf0.001 events: event_id 0..999
+    dec = decode_blocks(spark, out, schema, key_range=(lo, hi))
+    n_pruned = dec.count()
+    total = spark.read.parquet(src).count()
+    assert n_pruned < total  # pruning actually skipped blocks
+    got = (dec.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+           .select("event_id"))
+    exp = (spark.read.parquet(src)
+           .filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+           .select("event_id"))
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in exp.collect())
+    assert got.count() == hi - lo + 1
+
+
+def test_zone_map_requires_integral_sort_key(spark, tmp_path):
+    """A table sorted by a string key has null zone maps: key_range must
+    raise, never silently return an empty frame."""
+    src_df = spark.createDataFrame(
+        [(f"u{i:04d}", i) for i in range(500)], "url string, v long")
+    src = str(tmp_path / "ssrc")
+    src_df.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "szm")
+    encode_snapshot(spark, src, out, key_col="url")
+    schema = pq.read_schema(
+        os.path.join(src, [f for f in os.listdir(src)
+                           if f.endswith(".parquet")][0]))
+    with pytest.raises(ValueError, match="zone maps"):
+        decode_blocks(spark, out, schema, key_range=(0, 10)).count()
