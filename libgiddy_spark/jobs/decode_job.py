@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--key-col", required=True)
     ap.add_argument("--out", default=None, help="write decoded rows here")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--key-range", default=None, metavar="LO,HI",
+                    help="zone-map pruned decode: only blocks whose "
+                         "sort-key range overlaps [LO,HI] (integral keys)")
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -41,7 +44,11 @@ def main() -> None:
         else os.path.join(args.source, first_rel)
     )
     schema = pq.read_schema(schema_path)
-    dec = decode_blocks(spark, args.encoded, schema)
+    krange = None
+    if args.key_range:
+        lo, hi = args.key_range.split(",")
+        krange = (int(lo), int(hi))
+    dec = decode_blocks(spark, args.encoded, schema, key_range=krange)
     if args.out:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
