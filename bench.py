@@ -190,12 +190,16 @@ def run_bench(cpus: int) -> dict:
         queries: dict[str, float] = {}
         detail: dict[str, dict] = {}
         for name, (src, key, nparts) in jobs.items():
-            # min of 2 for every table: host steal noise is one-sided
-            # and swings single runs by >2x (see BENCH/BASELINE.md)
-            r = bench_table(spark, src, key, nparts, min_slices=min_slices)
-            r2 = bench_table(spark, src, key, nparts, min_slices=min_slices)
-            if r2["encode_sec"] + r2["decode_sec"] < r["encode_sec"] + r["decode_sec"]:
-                r = r2
+            # min of N: host steal noise is one-sided and swings single
+            # runs by >2x (see BENCH/BASELINE.md); webtext dominates the
+            # total and is the noisiest, so it gets an extra rep
+            reps = 3 if name == "webtext" else 2
+            r = None
+            for _ in range(reps):
+                ri = bench_table(spark, src, key, nparts, min_slices=min_slices)
+                if r is None or (ri["encode_sec"] + ri["decode_sec"]
+                                 < r["encode_sec"] + r["decode_sec"]):
+                    r = ri
             queries[name] = round(r["encode_sec"] + r["decode_sec"], 3)
             detail[name] = r
         return {"queries": queries, "detail": detail}
