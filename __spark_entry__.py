@@ -335,6 +335,32 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return topk_neighbors_lsh(_embs(spark, sf_dir))
 
 
+def q_sketch_hll_users(spark, sf_dir):
+    """Deterministic HLL register table over events.user_id — the
+    mergeable distinct-count sketch state (bucket, max rho), exactly
+    SQL-reproducible; the float estimate is a driver-side helper."""
+    from libgiddy_spark.pipeline import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "user_id")
+
+
+def q_sketch_cms_lang(spark, sf_dir):
+    """Count-min sketch state (4 x 64 exact integer cells) over
+    documents.lang."""
+    from libgiddy_spark.pipeline import cms_sketch
+
+    return cms_sketch(_docs(spark, sf_dir), "lang")
+
+
+def q_sketch_cms_point(spark, sf_dir):
+    """Count-min point estimate for lang='en' next to the true count
+    (est >= true by construction; both exact integers)."""
+    from libgiddy_spark.pipeline import cms_point_estimate
+
+    return cms_point_estimate(_docs(spark, sf_dir), "lang", "en")
+
+
 def q_embedding_ivf_assign(spark, sf_dir):
     """IVF list assignment (deterministic sampled centroids, max-dot
     list per vector) — the coarse-quantizer half of the IVF ANN path."""
@@ -495,6 +521,33 @@ _QEMB_CTE = (
 _QDOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) AS BIGINT)"
 
 
+def _cms_point_sql(probe: str) -> str:
+    """Count-min point-estimate oracle: the probe's d cell coordinates
+    are md5-derived in Python exactly as the Spark side derives them."""
+    import hashlib
+
+    cells = " OR ".join(
+        f"(d_row = {i} AND bucket = "
+        f"{int(hashlib.md5(f'{probe}#{i}'.encode()).hexdigest()[:6], 16) % 64})"
+        for i in range(4)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS d_row, CAST(concat('0x', "
+        f"substr(md5(lang || '#{i}'), 1, 6)) AS BIGINT) % 64 "
+        "AS bucket FROM documents"
+        for i in range(4)
+    )
+    return (
+        f"WITH u AS ({union}), "
+        "cell AS (SELECT d_row, bucket, COUNT(*) AS cnt FROM u "
+        "GROUP BY d_row, bucket), "
+        f"est AS (SELECT MIN(cnt) AS est_count FROM cell WHERE {cells}), "
+        f"tru AS (SELECT COUNT(*) AS true_count FROM documents "
+        f"WHERE lang = '{probe}') "
+        f"SELECT '{probe}' AS probe, est_count, true_count FROM est, tru"
+    )
+
+
 def _bucket_expr_sql(qref: str = "q.q") -> str:
     from libgiddy_spark.pipeline.similarity import plane_signs
 
@@ -553,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sketch_cms_lang": q_sketch_cms_lang,
+        "sketch_cms_point": q_sketch_cms_point,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -665,6 +721,30 @@ def oracle_sql() -> dict[str, str]:
             "MAX(fsum) AS max_frame_sum, MIN(fsum) AS min_frame_sum, "
             "CAST(MAX(CASE WHEN f = 0 THEN fsum END) AS BIGINT) AS frame0_sum "
             "FROM fs GROUP BY doc_id",
+        "sketch_hll_users":
+            "WITH hh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events), "
+            "r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 64 "
+            "AS bucket, regexp_replace(substr(h, 3, 15), '^0+', '') AS st "
+            "FROM hh), "
+            "rr AS (SELECT bucket, CASE WHEN length(st) = 0 THEN 61 ELSE "
+            "(15 - length(st)) * 4 + (4 - (CASE WHEN dv >= 8 THEN 4 "
+            "WHEN dv >= 4 THEN 3 WHEN dv >= 2 THEN 2 ELSE 1 END)) + 1 END "
+            "AS rho FROM (SELECT bucket, st, CAST(concat('0x', "
+            "coalesce(nullif(substr(st, 1, 1), ''), '0')) AS BIGINT) AS dv "
+            "FROM r) t) "
+            "SELECT bucket, CAST(MAX(rho) AS INT) AS rho_max "
+            "FROM rr GROUP BY bucket",
+        "sketch_cms_lang":
+            "WITH u AS ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS d_row, CAST(concat('0x', "
+                f"substr(md5(lang || '#{i}'), 1, 6)) AS BIGINT) % 64 "
+                "AS bucket FROM documents"
+                for i in range(4)
+            )
+            + ") SELECT d_row, bucket, COUNT(*) AS cnt "
+            "FROM u GROUP BY d_row, bucket",
+        "sketch_cms_point": _cms_point_sql("en"),
         "text_token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "

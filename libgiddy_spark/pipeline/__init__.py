@@ -40,4 +40,10 @@ from .similarity import (  # noqa: F401
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
+from .sketch import (  # noqa: F401
+    cms_point_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+)
 from .text import fingerprints, lang_id, quality_score, token_stats  # noqa: F401
