@@ -28,7 +28,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--op", required=True,
                     choices=["dedup_corpus", "text_stats", "ann_topk",
-                             "near_dups", "ivf_assign"])
+                             "near_dups", "ivf_assign", "hll", "cms"])
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key-col", default=None)
@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=5)
     ap.add_argument("--method", default="lsh", choices=["lsh", "ivf"])
     ap.add_argument("--jaccard-threshold-x1000", type=int, default=700)
+    ap.add_argument("--sketch-col", default=None,
+                    help="column for --op hll/cms (default: key col)")
     args = ap.parse_args()
 
     spark = build_spark(f"libgiddy-spark-pipeline-{args.op}")
@@ -74,6 +76,14 @@ def main() -> None:
         from libgiddy_spark.pipeline import ivf_assign
 
         res = ivf_assign(df, key=args.key_col or "vec_id", emb=args.emb_col)
+    elif args.op == "hll":
+        from libgiddy_spark.pipeline import hll_registers
+
+        res = hll_registers(df, args.sketch_col or args.key_col or "doc_id")
+    elif args.op == "cms":
+        from libgiddy_spark.pipeline import cms_sketch
+
+        res = cms_sketch(df, args.sketch_col or args.key_col or "doc_id")
     else:  # near_dups: the LSH scale path, never the cartesian baseline
         from libgiddy_spark.pipeline import embedding_near_dups_lsh
 
