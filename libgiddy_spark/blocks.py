@@ -148,8 +148,11 @@ def encode_group(
             out["payload"].append(payload)
             out["sha256"].append(hashlib.sha256(payload).hexdigest())
             if zone_vals is not None and len(chunk):
-                out["key_lo"].append(int(zone_vals[start]))
-                out["key_hi"].append(int(zone_vals[min(start + block_rows, n) - 1]))
+                # true min/max of the slice (not first/last): correct even
+                # if a caller ever passes zone_key over unsorted data
+                zslice = zone_vals[start : min(start + block_rows, n)]
+                out["key_lo"].append(int(zslice.min()))
+                out["key_hi"].append(int(zslice.max()))
             else:
                 out["key_lo"].append(None)
                 out["key_hi"].append(None)

@@ -294,8 +294,10 @@ def decode_blocks(
     ``key_range=(lo, hi)`` (inclusive, sort-key values as int64) prunes
     via the per-block ZONE MAPS (key_lo/key_hi columns): overlapping
     blocks only, skipped at parquet row-group level before any payload
-    byte is read. Block-granular — callers apply the exact row predicate
-    on the decoded frame."""
+    byte is read. Blocks WITHOUT zone maps (non-integral sort key, or a
+    group whose key column contains nulls) always decode — pruning only
+    ever over-includes, never silently drops rows. Block-granular —
+    callers apply the exact row predicate on the decoded frame."""
     files = _committed_block_files(out_dir, part_ids)
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
@@ -305,24 +307,12 @@ def decode_blocks(
         return spark.createDataFrame([], ddl)
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
     krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
-    if krange is not None and files:
-        # fail loudly, not silently-empty: a table sorted by a
-        # non-integral key has all-null zone maps, which the overlap
-        # filter would exclude wholesale (one tiny column read, driver)
-        import pyarrow.parquet as _pq
-
-        zl = _pq.read_table(files[0], columns=["key_lo"]).column(0)
-        if len(zl) and zl.null_count == len(zl):
-            raise ValueError(
-                "key_range decode requires zone maps, which are only "
-                "written for integral/timestamp sort keys — this table "
-                "has none (string sort key?)"
-            )
 
     wanted_cols = sorted(f.name for f in schema)
 
     def decode_stream(batches):
         import numpy as np
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         for batch in batches:
@@ -330,16 +320,19 @@ def decode_blocks(
                 # predicate + projection pushdown into the block scan:
                 # only the requested parts' and columns' payload bytes
                 # are read from the file (row-group pruning)
-                flt = [("column", "in", wanted_cols)]
+                flt = pc.field("column").isin(wanted_cols)
                 if wanted is not None:
-                    flt.append(("part_id", "in", wanted))
+                    flt = flt & pc.field("part_id").isin(wanted)
                 if krange is not None:
                     # zone-map pruning: keep blocks whose sort-key range
-                    # overlaps [lo, hi] (null zone maps never match —
-                    # correct only because key_range is documented as
-                    # requiring a zone-mapped (integral) sort key)
-                    flt.append(("key_hi", ">=", krange[0]))
-                    flt.append(("key_lo", "<=", krange[1]))
+                    # overlaps [lo, hi] — and ALWAYS keep null zone maps
+                    # (non-integral sort keys, or a group containing a
+                    # null key): over-inclusion is correct, silent
+                    # pruning of unzoned blocks would lose rows
+                    overlap = (pc.field("key_hi") >= krange[0]) & (
+                        pc.field("key_lo") <= krange[1]
+                    )
+                    flt = flt & (overlap | pc.field("key_lo").is_null())
                 tbl = pq.read_table(
                     path,
                     columns=["part_id", "salt", "block_seq", "column", "payload"],

@@ -49,12 +49,27 @@ def main() -> None:
         lo, hi = args.key_range.split(",")
         krange = (int(lo), int(hi))
     dec = decode_blocks(spark, args.encoded, schema, key_range=krange)
+    if krange is not None:
+        # zone-map pruning is block-granular: apply the exact predicate
+        # so --out and --verify see precisely the requested range
+        from pyspark.sql import functions as F
+
+        dec = dec.filter(
+            (F.col(args.key_col) >= krange[0])
+            & (F.col(args.key_col) <= krange[1])
+        )
     if args.out:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
-        rep = verify_roundtrip(
-            spark.read.parquet(args.source), dec, args.key_col
-        )
+        src = spark.read.parquet(args.source)
+        if krange is not None:
+            from pyspark.sql import functions as F
+
+            src = src.filter(
+                (F.col(args.key_col) >= krange[0])
+                & (F.col(args.key_col) <= krange[1])
+            )
+        rep = verify_roundtrip(src, dec, args.key_col)
         print(json.dumps(rep))
         if not rep["ok"]:
             sys.exit(2)

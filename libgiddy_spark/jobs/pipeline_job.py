@@ -10,6 +10,9 @@
         [--key-col vec_id] [--emb-col embedding] [--k 3] [--n-queries 5] \
         [--method lsh|ivf]
     spark-submit ... --op near_dups    --source embs.parquet  --out out/
+    spark-submit ... --op ivf_assign   --source embs.parquet  --out out/
+    spark-submit ... --op hll|cms      --source t.parquet     --out out/ \
+        [--sketch-col user_id]
 
 Each op reads a parquet table, runs the corresponding pipeline operator
 (the same implementations the driver-contract queries exercise), and
@@ -58,11 +61,11 @@ def main() -> None:
             lang_id, quality_score, token_stats,
         )
 
-        key = args.key_col or "doc_id"
+        key, text = args.key_col or "doc_id", args.text_col
         res = (
-            token_stats(df)
-            .join(quality_score(df).drop("n_tokens"), key)
-            .join(lang_id(df).drop("n_chars"), key)
+            token_stats(df, key=key, text=text)
+            .join(quality_score(df, key=key, text=text).drop("n_tokens"), key)
+            .join(lang_id(df, key=key, text=text).drop("n_chars"), key)
         )
     elif args.op == "ann_topk":
         key = args.key_col or "vec_id"

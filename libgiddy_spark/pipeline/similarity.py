@@ -234,19 +234,14 @@ def _itdiv(num, den):
     return F.when(num < 0, -q).otherwise(q)
 
 
-def ivf_refine(
-    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
-    n_lists: int = N_IVF_LISTS, dim: int = 64,
-) -> DataFrame:
-    """One Lloyd iteration on the sampled centroids -> (cid, cq).
-
-    New centroid = element-wise EXACT integer mean (truncating
-    division) of the list's member vectors; lists that attracted no
-    members drop out (the remaining centroids re-absorb their space on
-    re-assignment). Element-wise sums are 64 JVM-side aggregates on
-    the grouped frame — no explode, one shuffle on list_id."""
-    qdf = _quantized(df, key, emb)
-    cents = _centroids(qdf, key, n_lists)
+def _refine_from(qdf: DataFrame, cents: DataFrame, key: str, dim: int) -> DataFrame:
+    """One Lloyd iteration from pre-built quantized vectors + centroids
+    -> (cid, cq): new centroid = element-wise EXACT integer mean
+    (truncating division) of the list's member vectors; lists that
+    attracted no members drop out (the remaining centroids re-absorb
+    their space on re-assignment). Element-wise sums are ``dim``
+    JVM-side aggregates on the grouped frame — no explode, one shuffle
+    on list_id."""
     asg = _assign_from(qdf, cents, key)
     sums = qdf.join(asg, key).groupBy("list_id").agg(
         F.count("*").alias("n"),
@@ -258,16 +253,27 @@ def ivf_refine(
     )
 
 
+def ivf_refine(
+    df: DataFrame, key: str = "vec_id", emb: str = "embedding",
+    n_lists: int = N_IVF_LISTS, dim: int = 64,
+) -> DataFrame:
+    """One Lloyd iteration on the sampled centroids -> (cid, cq)."""
+    qdf = _quantized(df, key, emb)
+    return _refine_from(qdf, _centroids(qdf, key, n_lists), key, dim)
+
+
 def ivf_assign_refined(
     df: DataFrame, key: str = "vec_id", emb: str = "embedding",
     n_lists: int = N_IVF_LISTS, dim: int = 64,
 ) -> DataFrame:
     """IVF list assignment against the Lloyd-refined centroids
     (sampled bootstrap -> one k-means step -> re-assign): the refined
-    inverted lists a production IVF index would serve from."""
+    inverted lists a production IVF index would serve from. The corpus
+    is quantized and the bootstrap centroids built once, shared by the
+    refinement and re-assignment subplans."""
     qdf = _quantized(df, key, emb)
-    refined = ivf_refine(df, key, emb, n_lists, dim)
-    return _assign_from(qdf, refined, key)
+    cents = _centroids(qdf, key, n_lists)
+    return _assign_from(qdf, _refine_from(qdf, cents, key, dim), key)
 
 
 def ivf_assign(

@@ -61,7 +61,7 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_M) -> float:
     for b, r in registers:
         regs[int(b)] = int(r)
     s = sum(2.0 ** -r for r in regs)
-    alpha = 0.709  # alpha_64
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard alpha_m (m >= 64)
     est = alpha * m * m / s
     zeros = regs.count(0)
     if est <= 2.5 * m and zeros:
@@ -70,19 +70,21 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_M) -> float:
 
 
 def cms_sketch(df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
-    """Count-min sketch state: (row, bucket, cnt), d x w cells.
+    """Count-min sketch state: (d_row, bucket, cnt), d x w cells.
     Row i's bucket for value v = first-6-hex-digits(md5(v || '#i')) % w.
-    Exact integer state — unions/merges are cell-wise sums."""
-    parts = []
-    for i in range(d):
-        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{i}")))
-        parts.append(
-            df.select(F.lit(i).alias("d_row"), (_hex_int(h, 1, 6) % w).alias("bucket"))
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionAll(p)
-    return u.groupBy("d_row", "bucket").agg(F.count("*").alias("cnt"))
+    Exact integer state — unions/merges are cell-wise sums. ONE source
+    scan: the d derived buckets explode from an array per row (a d-way
+    union would re-read the source d times)."""
+    buckets = F.array(*[
+        _hex_int(F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{i}"))),
+                 1, 6) % w
+        for i in range(d)
+    ])
+    return (
+        df.select(F.posexplode(buckets).alias("d_row", "bucket"))
+        .groupBy("d_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_point_estimate(

@@ -356,9 +356,10 @@ def test_zone_map_pruned_decode(spark, tmp_path):
     assert got.count() == hi - lo + 1
 
 
-def test_zone_map_requires_integral_sort_key(spark, tmp_path):
-    """A table sorted by a string key has null zone maps: key_range must
-    raise, never silently return an empty frame."""
+def test_zone_map_null_maps_never_prune(spark, tmp_path):
+    """Blocks WITHOUT zone maps (string sort key -> all-null key_lo)
+    must always decode under key_range: pruning only over-includes,
+    never silently drops rows."""
     src_df = spark.createDataFrame(
         [(f"u{i:04d}", i) for i in range(500)], "url string, v long")
     src = str(tmp_path / "ssrc")
@@ -368,5 +369,25 @@ def test_zone_map_requires_integral_sort_key(spark, tmp_path):
     schema = pq.read_schema(
         os.path.join(src, [f for f in os.listdir(src)
                            if f.endswith(".parquet")][0]))
-    with pytest.raises(ValueError, match="zone maps"):
-        decode_blocks(spark, out, schema, key_range=(0, 10)).count()
+    dec = decode_blocks(spark, out, schema, key_range=(0, 10))
+    assert dec.count() == 500  # unpruned, NOT silently empty
+
+
+def test_zone_map_null_key_rows_survive_pruning(spark, tmp_path):
+    """An integral sort key containing NULLs makes its group unzoned;
+    key_range decode must still return that group's rows (review
+    finding: the old null-never-matches filter silently dropped them)."""
+    rows = [(i if i != 7 else None, f"t{i}") for i in range(300)]
+    src_df = spark.createDataFrame(rows, "k long, t string")
+    src = str(tmp_path / "nullsrc")
+    src_df.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "nullzm")
+    encode_snapshot(spark, src, out, key_col="k")
+    schema = pq.read_schema(
+        os.path.join(src, [f for f in os.listdir(src)
+                           if f.endswith(".parquet")][0]))
+    dec = decode_blocks(spark, out, schema, key_range=(0, 50))
+    # the whole (single, unzoned) group decodes — no silent loss
+    assert dec.count() == 300
+    got = dec.filter((F.col("k") >= 0) & (F.col("k") <= 50)).count()
+    assert got == 50  # 0..50 minus the null at 7
