@@ -189,6 +189,8 @@ def encode_files(
                 F.sum("enc_bytes").alias("enc_bytes"),
                 F.count("*").alias("n_blocks"),
                 F.first("codec_params").alias("codec_params"),
+                F.min("key_lo").alias("key_lo"),
+                F.max("key_hi").alias("key_hi"),
             )
         ).collect()
         per_part: dict[int, dict] = {
@@ -204,6 +206,12 @@ def encode_files(
         }
         for r in mdf:
             e = per_part[int(r["part_id"])]
+            # part-level zone map in the manifest: lets a key-range
+            # decode prune whole PARTS/chunk dirs driver-side, before
+            # any file listing or footer read (the Iceberg-manifest
+            # data-skipping pattern)
+            if r["key_lo"] is not None and e.get("key_lo") is None:
+                e["key_lo"], e["key_hi"] = int(r["key_lo"]), int(r["key_hi"])
             e["columns"][r["column"]] = {
                 "codec": r["codec"],
                 "n_values": int(r["n_values"]) ,
@@ -236,11 +244,16 @@ def blocks_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _committed_block_files(
-    out_dir: str, part_ids: list[int] | None = None
+    out_dir: str,
+    part_ids: list[int] | None = None,
+    key_range: tuple[int, int] | None = None,
 ) -> list[str]:
     """Block parquet files belonging to COMMITTED chunks, from the
     manifest. A part-id filter drops whole chunk dirs before listing
-    (each chunk dir's manifest lines name its parts). Hidden paths
+    (each chunk dir's manifest lines name its parts); a key_range
+    drops parts whose MANIFEST-level zone map doesn't overlap — the
+    Iceberg-manifest data-skipping layer above the per-block zone maps
+    (parts without a recorded zone map are always kept). Hidden paths
     (``_``/``.`` prefixes: Spark ``_temporary`` task dirs, ``_PARTS``
     markers) are excluded as defense-in-depth even inside committed
     dirs."""
@@ -248,7 +261,11 @@ def _committed_block_files(
     chunk_parts: dict[str, set[int]] = {}
     for e in Manifest(out_dir).read():
         if e.get("kind") == "part" and e.get("status") == "done" and e.get("chunk_dir"):
-            chunk_parts.setdefault(e["chunk_dir"], set()).add(int(e["part_id"]))
+            pid = int(e["part_id"])
+            if key_range is not None and e.get("key_lo") is not None:
+                if e["key_hi"] < key_range[0] or e["key_lo"] > key_range[1]:
+                    continue  # whole part out of range
+            chunk_parts.setdefault(e["chunk_dir"], set()).add(pid)
     wanted = {int(p) for p in part_ids} if part_ids is not None else None
     files: list[str] = []
     for d, parts in sorted(chunk_parts.items()):
@@ -297,8 +314,14 @@ def decode_blocks(
     byte is read. Blocks WITHOUT zone maps (non-integral sort key, or a
     group whose key column contains nulls) always decode — pruning only
     ever over-includes, never silently drops rows. Block-granular —
-    callers apply the exact row predicate on the decoded frame."""
-    files = _committed_block_files(out_dir, part_ids)
+    callers apply the exact row predicate on the decoded frame. The
+    range prunes at TWO levels: manifest part zone maps (driver-side,
+    before any listing) and per-block zone maps (parquet row-group
+    stats inside each task)."""
+    krange0 = (
+        (int(key_range[0]), int(key_range[1])) if key_range is not None else None
+    )
+    files = _committed_block_files(out_dir, part_ids, krange0)
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )

@@ -391,3 +391,24 @@ def test_zone_map_null_key_rows_survive_pruning(spark, tmp_path):
     assert dec.count() == 300
     got = dec.filter((F.col("k") >= 0) & (F.col("k") <= 50)).count()
     assert got == 50  # 0..50 minus the null at 7
+
+
+def test_manifest_zone_map_prunes_whole_parts(spark, tmp_path):
+    """Key-range decode prunes at the MANIFEST level first: parts whose
+    recorded key range doesn't overlap contribute no files at all —
+    their chunk dirs are never listed."""
+    from libgiddy_spark.engine import _committed_block_files
+
+    src = str(tmp_path / "ranged")
+    (spark.read.parquet(f"{SF}/documents.parquet")
+     .repartitionByRange(4, "doc_id").write.parquet(src))
+    out = str(tmp_path / "rngout")
+    encode_snapshot(spark, src, out, key_col="doc_id", chunk_parts=1)
+    all_files = _committed_block_files(out)
+    # doc_id 0..499 split into 4 range files; a range inside one part
+    ranged = _committed_block_files(out, key_range=(10, 30))
+    assert ranged and len(ranged) < len(all_files)
+    dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"),
+                        key_range=(10, 30))
+    got = dec.filter((F.col("doc_id") >= 10) & (F.col("doc_id") <= 30))
+    assert got.count() == 21
