@@ -191,6 +191,11 @@ def encode_files(
                 F.first("codec_params").alias("codec_params"),
                 F.min("key_lo").alias("key_lo"),
                 F.max("key_hi").alias("key_hi"),
+                # a part zone map is only valid if EVERY block is zoned:
+                # min/max skip nulls, and one unzoned group inside an
+                # otherwise-zoned part would be silently pruned with it
+                F.sum(F.when(F.col("key_lo").isNull(), 1).otherwise(0))
+                .alias("n_unzoned"),
             )
         ).collect()
         per_part: dict[int, dict] = {
@@ -209,8 +214,13 @@ def encode_files(
             # part-level zone map in the manifest: lets a key-range
             # decode prune whole PARTS/chunk dirs driver-side, before
             # any file listing or footer read (the Iceberg-manifest
-            # data-skipping pattern)
-            if r["key_lo"] is not None and e.get("key_lo") is None:
+            # data-skipping pattern). Set only when every block of the
+            # part is zoned; one unzoned block poisons the whole part
+            # (over-inclusion, never silent loss).
+            if int(r["n_unzoned"] or 0) > 0:
+                e["key_lo"] = e["key_hi"] = None
+                e["_zone_poisoned"] = True
+            elif r["key_lo"] is not None and not e.get("_zone_poisoned"):
                 e["key_lo"], e["key_hi"] = int(r["key_lo"]), int(r["key_hi"])
             e["columns"][r["column"]] = {
                 "codec": r["codec"],
@@ -220,6 +230,8 @@ def encode_files(
                 "n_blocks": int(r["n_blocks"]),
                 "codec_params": r["codec_params"],
             }
+        for e in per_part.values():
+            e.pop("_zone_poisoned", None)
         entries = [e for e in per_part.values() if e["columns"]]
         empty = [
             {**per_part[p], "status": "done", "empty": True}

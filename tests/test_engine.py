@@ -412,3 +412,37 @@ def test_manifest_zone_map_prunes_whole_parts(spark, tmp_path):
                         key_range=(10, 30))
     got = dec.filter((F.col("doc_id") >= 10) & (F.col("doc_id") <= 30))
     assert got.count() == 21
+
+
+def test_manifest_zone_map_poisoned_by_unzoned_group(spark, tmp_path):
+    """A part with one null-key salt group must get NO manifest zone
+    map: min/max over the other (zoned) groups would otherwise prune
+    the unzoned group's live rows with the part."""
+    import numpy as np
+    import pyarrow as pa
+
+    from libgiddy_spark.engine import _committed_block_files
+
+    n = 2000
+    keys = [None if i == 7 else i for i in range(n)]
+    text = ["x" * 2000 for _ in range(n)]  # fat -> several salt groups
+    src = str(tmp_path / "mix.parquet")
+    pq.write_table(pa.table({"k": pa.array(keys, pa.int64()),
+                             "t": pa.array(text)}), src)
+    out = str(tmp_path / "mixout")
+    encode_snapshot(spark, src, out, key_col="k", fat_columns=("t",),
+                    target_salt_bytes=1 << 20)
+    # several groups; only the null-carrying one is unzoned
+    salts = {e["salts"] for e in Manifest(out).read() if e.get("kind") == "part"}
+    assert max(salts) > 1
+    # manifest must NOT carry a part zone map (poisoned)
+    parts = [e for e in Manifest(out).read() if e.get("kind") == "part"]
+    assert all(e.get("key_lo") is None for e in parts), parts
+    # a range far outside the data must still list the part's files
+    assert _committed_block_files(out, key_range=(10**6, 2 * 10**6))
+    # and the unzoned group's rows survive any range decode
+    dec = decode_blocks(spark, out, pa.schema([("k", pa.int64()),
+                                               ("t", pa.string())]),
+                        key_range=(0, 100))
+    got = dec.filter((F.col("k") >= 0) & (F.col("k") <= 100)).count()
+    assert got == 100  # 0..100 minus the null at 7
