@@ -253,6 +253,14 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score (integer-exact perplexity
+    proxy): per-doc token count, total floor-log2 bits, mean x1000."""
+    from libgiddy_spark.pipeline import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from libgiddy_spark.pipeline import exact_dedup
 
@@ -613,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_surprisal": q_text_surprisal,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
@@ -775,6 +784,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(text)) AS fp_exact, "
             "md5(array_to_string(list_sort(list_distinct("
             "string_split(lower(text),' '))),' ')) AS fp_bag FROM documents",
+        "text_surprisal":
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "c AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w), "
+            "n AS (SELECT COUNT(*) AS n_total FROM t), "
+            "b AS (SELECT t.doc_id, "
+            "CAST(length(bin(n.n_total // c.c)) - 1 AS INT) AS bits "
+            "FROM t JOIN c USING (w) CROSS JOIN n) "
+            "SELECT doc_id, COUNT(*) AS n_tokens, "
+            "CAST(SUM(bits) AS BIGINT) AS sum_bits, "
+            "(1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) "
+            "AS mean_bits_x1000 FROM b GROUP BY doc_id",
         "dedup_exact":
             "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, "
             "COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",

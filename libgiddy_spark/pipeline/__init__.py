@@ -46,4 +46,10 @@ from .sketch import (  # noqa: F401
     hll_estimate,
     hll_registers,
 )
-from .text import fingerprints, lang_id, quality_score, token_stats  # noqa: F401
+from .text import (  # noqa: F401
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+    unigram_surprisal,
+)

@@ -25,6 +25,39 @@ def _words(text_col):
     return F.split(text_col, " ")
 
 
+def unigram_surprisal(
+    df: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Integer-exact unigram-LM quality score — the perplexity-filter
+    signal of a training-data pipeline, with no float anywhere:
+    surprisal(w) = floor(log2(N // c(w))) bits (N = corpus tokens,
+    c = w's count; floor-log2 = binary-string length - 1, identical in
+    Spark conv(...,10,2) and DuckDB bin()). Per doc: token count, total
+    bits, and mean bits x1000 (floor). High mean = rare-word-heavy
+    (possibly noisy) text; low = boilerplate. Corpus stats come from
+    the input itself: one token explode, one groupBy(w), one broadcast
+    one-row total."""
+    toks = df.select(F.col(key), F.explode(_words(F.col(text))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    nc = idiv(F.col("n_total"), F.col("c"))
+    bits = F.length(F.conv(nc.cast("string"), 10, 2)) - F.lit(1)
+    scored = (
+        toks.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(key), bits.alias("bits"))
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .withColumn("mean_bits_x1000",
+                    idiv(1000 * F.col("sum_bits"), F.col("n_tokens")))
+    )
+
+
 # BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols
 # (ASCII classes mean the same thing to Java regex and RE2 — exact oracle)
 BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"

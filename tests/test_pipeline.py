@@ -459,3 +459,25 @@ def test_cms_point_overestimates_never_under(spark):
     for probe in ("v0", "v7", "v16"):
         r = cms_point_estimate(df, "x", probe).collect()[0]
         assert r["est_count"] >= r["true_count"] > 0, (probe, r)
+
+
+def test_unigram_surprisal_orders_rare_above_boilerplate(spark):
+    """A doc made of corpus-frequent words must score lower mean
+    surprisal than a doc of unique words, and the bit math must match
+    the exact floor-log2 definition."""
+    import math
+
+    from libgiddy_spark.pipeline import unigram_surprisal
+
+    common = " ".join(["the"] * 10)
+    rare = " ".join(f"zq{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, common), (1, common), (2, common), (3, rare)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    n_total = 40
+    bits_the = int(math.log2(n_total // 30))   # c('the') = 30
+    bits_rare = int(math.log2(n_total // 1))
+    assert got[0]["sum_bits"] == 10 * bits_the
+    assert got[3]["sum_bits"] == 10 * bits_rare
+    assert got[3]["mean_bits_x1000"] > got[0]["mean_bits_x1000"]
