@@ -136,6 +136,84 @@ def q_roundtrip_pruned_range(spark, sf_dir):
     ).select(*cols)
 
 
+def _encode_docs_by_text(spark, sf_dir):
+    """Encode documents sorted/zoned by the STRING key ``text`` (the
+    url-lookup-on-a-url-sorted-webtext-table pattern at test scale):
+    blocks carry string zone bounds + Bloom filters (blocks.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import encode_snapshot
+
+    src = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    out = tempfile.mkdtemp(prefix="lgs_pt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    encode_snapshot(spark, src, out, key_col="doc_id", sort_key="text",
+                    columns=cols)
+    schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    return out, schema
+
+
+def q_point_lookup_text(spark, sf_dir):
+    """Point lookup on a string sort key: manifest string bounds prune
+    parts driver-side, block string zone maps prune row groups, and the
+    per-block Bloom filter proves in-range blocks absent BEFORE their
+    payload is read (engine.decode_blocks key_point). The exact
+    equality predicate then runs on the decoded candidates. Oracle =
+    plain WHERE text = probe over the raw source."""
+    from libgiddy_spark.engine import decode_blocks
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = src.agg(F.min("text")).collect()[0][0]  # driver scalar
+    out, schema = _encode_docs_by_text(spark, sf_dir)
+    dec = decode_blocks(spark, out, schema, key_point=probe)
+    return (
+        dec.filter(F.col("text") == probe)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_pruned_text_range(spark, sf_dir):
+    """STRING-range pruned decode (the key_range twin for string sort
+    keys): truncation-safe per-block bounds + manifest part bounds
+    prune non-overlapping blocks; exact BETWEEN runs on the decoded
+    frame. Range = [min(text), 25th-smallest text], both well-defined
+    on the value multiset so Spark and the oracle agree."""
+    from libgiddy_spark.engine import decode_blocks
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = src.agg(F.min("text")).collect()[0][0]
+    hi = src.select("text").orderBy("text").limit(25).collect()[-1][0]
+    out, schema = _encode_docs_by_text(spark, sf_dir)
+    dec = decode_blocks(spark, out, schema, key_range_s=(lo, hi))
+    return (
+        dec.filter((F.col("text") >= lo) & (F.col("text") <= hi))
+        .select("doc_id", "lang")
+    )
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Grouping-sets coverage (SURVEY.md §2.2): ROLLUP(lang, source)
+    corpus census — per (lang, source), per lang, and grand total in
+    one pass (Spark expands to a single expand+hash-agg, one shuffle).
+    GROUPING markers disambiguate data nulls from rollup nulls."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+    )
+
+
 def q_codec_stats_lang(spark, sf_dir):
     """Selector input stats (cardinality drivers) computed from DECODED
     rows — proves dict decode preserves the exact value distribution."""
@@ -611,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_bitmap_linenumber": q_roundtrip_bitmap_linenumber,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_pruned_range": q_roundtrip_pruned_range,
+        "point_lookup_text": q_point_lookup_text,
+        "pruned_text_range": q_pruned_text_range,
+        "corpus_rollup": q_corpus_rollup,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
@@ -666,6 +747,20 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_pruned_range":
             "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 3000",
+        "point_lookup_text":
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE text = (SELECT MIN(text) FROM documents)",
+        "pruned_text_range":
+            "SELECT doc_id, lang FROM documents "
+            "WHERE text >= (SELECT MIN(text) FROM documents) "
+            "AND text <= (SELECT text FROM documents "
+            "ORDER BY text LIMIT 1 OFFSET 24)",
+        "corpus_rollup":
+            "SELECT lang, source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(GROUPING(lang) AS INT) AS g_lang, "
+            "CAST(GROUPING(source) AS INT) AS g_source "
+            "FROM documents GROUP BY ROLLUP(lang, source)",
         "codec_stats_lang":
             "SELECT lang, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs "
             "FROM documents GROUP BY lang ORDER BY lang",

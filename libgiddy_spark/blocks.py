@@ -18,7 +18,9 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from . import bloom as bloom_mod
 from .codecs import SymbolTable, decode_array, encode_array
 from .codecs import fsst as fsst_mod
 from .codecs import header as H
@@ -47,14 +49,48 @@ BLOCKS_SCHEMA = pa.schema(
         # whole row groups before any payload byte is read.
         ("key_lo", pa.int64()),
         ("key_hi", pa.int64()),
+        # STRING zone map: same min/max idea for string sort keys (url!),
+        # truncation-safe (a too-long bound becomes null = never pruned).
+        # The Iceberg data-file lower/upper-bounds pattern.
+        ("key_lo_s", pa.string()),
+        ("key_hi_s", pa.string()),
+        # per-block Bloom filter over the sort-key values (bloom.py),
+        # stored ONLY on the sort-key column's block rows: point lookups
+        # prune blocks the zone maps keep (equality probes, string keys)
+        ("key_bloom", pa.binary()),
     ]
 )
 
 BLOCKS_DDL = (
     "part_id int, salt int, block_seq int, column string, codec string, "
     "codec_params string, n_values long, raw_bytes long, enc_bytes long, "
-    "payload binary, sha256 string, key_lo long, key_hi long"
+    "payload binary, sha256 string, key_lo long, key_hi long, "
+    "key_lo_s string, key_hi_s string, key_bloom binary"
 )
+
+# string zone bounds longer than this are truncated (Iceberg's truncate
+# transform): the LOWER bound keeps the plain prefix (prefix <= value,
+# always valid), the UPPER bound keeps the prefix with its last code
+# point incremented (> any string extending the prefix). If no code
+# point can be incremented, the bound is null = never pruned.
+MAX_ZONE_STR = 120
+
+
+def _trunc_bound_lo(s: str) -> str:
+    return s if len(s) <= MAX_ZONE_STR else s[:MAX_ZONE_STR]
+
+
+def _trunc_bound_hi(s: str) -> str | None:
+    if len(s) <= MAX_ZONE_STR:
+        return s
+    p = s[:MAX_ZONE_STR]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i]) + 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000  # skip the surrogate gap (invalid in UTF-8)
+        if c <= 0x10FFFF:
+            return p[:i] + chr(c)
+    return None  # every prefix char was U+10FFFF: give up, keep block
 
 
 def _normalize(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -100,14 +136,24 @@ def encode_group(
     out: dict[str, list] = {name: [] for name in BLOCKS_SCHEMA.names}
     n = table.num_rows
     # per-block zone map from the (sorted) sort key: lo/hi = the slice's
-    # first/last value; None when the key isn't an ordered integer type
+    # first/last value; None when the key isn't an ordered integer type.
+    # String keys get string bounds (key_lo_s/key_hi_s) instead; both
+    # flavors also feed a per-block Bloom filter for point lookups.
     zone_vals = None
+    zone_strs = None
+    key_hashes = None
+    key_domain = bloom_mod.DOMAIN_INT
     if zone_key is not None and zone_key in table.column_names and n:
         zk = _normalize(table.column(zone_key))
         if pa.types.is_timestamp(zk.type):
             zk = zk.cast(pa.int64())
         if pa.types.is_integer(zk.type) and zk.null_count == 0:
             zone_vals = zk.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            key_hashes = bloom_mod.hash_int_array(zone_vals)
+        elif pa.types.is_string(zk.type) and zk.null_count == 0:
+            zone_strs = zk
+            key_hashes = bloom_mod.hash_string_array(zk)
+            key_domain = bloom_mod.DOMAIN_BYTES
     for col_name in cols:
         arr = _normalize(table.column(col_name))
         cached = selector_cache.get(col_name) if selector_cache is not None else None
@@ -147,15 +193,30 @@ def encode_group(
             out["enc_bytes"].append(meta["enc_bytes"])
             out["payload"].append(payload)
             out["sha256"].append(hashlib.sha256(payload).hexdigest())
+            end = min(start + block_rows, n)
             if zone_vals is not None and len(chunk):
                 # true min/max of the slice (not first/last): correct even
                 # if a caller ever passes zone_key over unsorted data
-                zslice = zone_vals[start : min(start + block_rows, n)]
+                zslice = zone_vals[start:end]
                 out["key_lo"].append(int(zslice.min()))
                 out["key_hi"].append(int(zslice.max()))
             else:
                 out["key_lo"].append(None)
                 out["key_hi"].append(None)
+            lo_s = hi_s = None
+            if zone_strs is not None and len(chunk):
+                mm = pc.min_max(zone_strs.slice(start, end - start))
+                lo_s = _trunc_bound_lo(mm["min"].as_py())
+                hi_s = _trunc_bound_hi(mm["max"].as_py())
+                if hi_s is None:
+                    lo_s = None  # keep bounds paired for the null-keep rule
+            out["key_lo_s"].append(lo_s)
+            out["key_hi_s"].append(hi_s)
+            out["key_bloom"].append(
+                bloom_mod.build_bloom(key_hashes[start:end], key_domain)
+                if key_hashes is not None and col_name == zone_key and len(chunk)
+                else None
+            )
             if n == 0:
                 break
     return pa.table(out, schema=BLOCKS_SCHEMA)

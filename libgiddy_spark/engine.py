@@ -191,11 +191,15 @@ def encode_files(
                 F.first("codec_params").alias("codec_params"),
                 F.min("key_lo").alias("key_lo"),
                 F.max("key_hi").alias("key_hi"),
+                F.min("key_lo_s").alias("key_lo_s"),
+                F.max("key_hi_s").alias("key_hi_s"),
                 # a part zone map is only valid if EVERY block is zoned:
                 # min/max skip nulls, and one unzoned group inside an
                 # otherwise-zoned part would be silently pruned with it
                 F.sum(F.when(F.col("key_lo").isNull(), 1).otherwise(0))
                 .alias("n_unzoned"),
+                F.sum(F.when(F.col("key_lo_s").isNull(), 1).otherwise(0))
+                .alias("n_unzoned_s"),
             )
         ).collect()
         per_part: dict[int, dict] = {
@@ -222,6 +226,12 @@ def encode_files(
                 e["_zone_poisoned"] = True
             elif r["key_lo"] is not None and not e.get("_zone_poisoned"):
                 e["key_lo"], e["key_hi"] = int(r["key_lo"]), int(r["key_hi"])
+            # string part bounds: same poisoning rule, separate flag
+            if int(r["n_unzoned_s"] or 0) > 0:
+                e["key_lo_s"] = e["key_hi_s"] = None
+                e["_zone_poisoned_s"] = True
+            elif r["key_lo_s"] is not None and not e.get("_zone_poisoned_s"):
+                e["key_lo_s"], e["key_hi_s"] = r["key_lo_s"], r["key_hi_s"]
             e["columns"][r["column"]] = {
                 "codec": r["codec"],
                 "n_values": int(r["n_values"]) ,
@@ -232,6 +242,7 @@ def encode_files(
             }
         for e in per_part.values():
             e.pop("_zone_poisoned", None)
+            e.pop("_zone_poisoned_s", None)
         entries = [e for e in per_part.values() if e["columns"]]
         empty = [
             {**per_part[p], "status": "done", "empty": True}
@@ -259,24 +270,46 @@ def _committed_block_files(
     out_dir: str,
     part_ids: list[int] | None = None,
     key_range: tuple[int, int] | None = None,
+    key_range_s: tuple[str, str] | None = None,
+    as_of: str | None = None,
 ) -> list[str]:
     """Block parquet files belonging to COMMITTED chunks, from the
     manifest. A part-id filter drops whole chunk dirs before listing
     (each chunk dir's manifest lines name its parts); a key_range
-    drops parts whose MANIFEST-level zone map doesn't overlap — the
-    Iceberg-manifest data-skipping layer above the per-block zone maps
-    (parts without a recorded zone map are always kept). Hidden paths
-    (``_``/``.`` prefixes: Spark ``_temporary`` task dirs, ``_PARTS``
-    markers) are excluded as defense-in-depth even inside committed
-    dirs."""
+    (int sort keys) or key_range_s (string sort keys) drops parts whose
+    MANIFEST-level zone map doesn't overlap — the Iceberg-manifest
+    data-skipping layer above the per-block zone maps (parts without a
+    recorded zone map are always kept). ``as_of`` = a snapshot id for
+    TIME TRAVEL: only parts committed under snapshots up to and
+    including it (manifest header order) are visible — the Iceberg
+    snapshot-isolation read pattern over our append-only manifest.
+    Hidden paths (``_``/``.`` prefixes: Spark ``_temporary`` task dirs,
+    ``_PARTS`` markers) are excluded as defense-in-depth even inside
+    committed dirs."""
     blocks_root = os.path.join(out_dir, "blocks")
+    entries = Manifest(out_dir).read()
+    accepted: set[str] | None = None
+    if as_of is not None:
+        accepted = set()
+        for e in entries:
+            if e.get("kind") == "snapshot":
+                accepted.add(e["snapshot_id"])
+                if e["snapshot_id"] == as_of:
+                    break
+        if as_of not in accepted:
+            raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
     chunk_parts: dict[str, set[int]] = {}
-    for e in Manifest(out_dir).read():
+    for e in entries:
         if e.get("kind") == "part" and e.get("status") == "done" and e.get("chunk_dir"):
             pid = int(e["part_id"])
+            if accepted is not None and e.get("snapshot_id") not in accepted:
+                continue  # committed after the as_of snapshot
             if key_range is not None and e.get("key_lo") is not None:
                 if e["key_hi"] < key_range[0] or e["key_lo"] > key_range[1]:
                     continue  # whole part out of range
+            if key_range_s is not None and e.get("key_lo_s") is not None:
+                if e["key_hi_s"] < key_range_s[0] or e["key_lo_s"] > key_range_s[1]:
+                    continue  # whole part out of string range
             chunk_parts.setdefault(e["chunk_dir"], set()).add(pid)
     wanted = {int(p) for p in part_ids} if part_ids is not None else None
     files: list[str] = []
@@ -300,6 +333,9 @@ def decode_blocks(
     schema: pa.Schema,
     part_ids: list[int] | None = None,
     key_range: tuple[int, int] | None = None,
+    key_range_s: tuple[str, str] | None = None,
+    key_point=None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Blocks -> original rows (+ part_id), SHUFFLE-FREE.
 
@@ -329,11 +365,35 @@ def decode_blocks(
     callers apply the exact row predicate on the decoded frame. The
     range prunes at TWO levels: manifest part zone maps (driver-side,
     before any listing) and per-block zone maps (parquet row-group
-    stats inside each task)."""
+    stats inside each task).
+
+    ``key_range_s=(lo, hi)`` is the same pruning for STRING sort keys
+    via the ``key_lo_s/key_hi_s`` bounds (truncation-unsafe bounds were
+    stored as null = never pruned). ``key_point`` = a single probe
+    value (int or str): sets the matching range to ``(v, v)`` AND
+    additionally tests each candidate block's Bloom filter (bloom.py)
+    in a metadata-only first read, so in-range blocks that provably
+    don't contain the probe skip their payload read and decode
+    entirely. ``as_of`` = snapshot id for time travel (see
+    :func:`_committed_block_files`). All pruning is block-granular and
+    over-inclusive only — callers apply the exact row predicate on the
+    decoded frame."""
+    probe_hash = probe_domain = None
+    if key_point is not None:
+        from . import bloom as bloom_mod
+
+        if isinstance(key_point, str):
+            if key_range_s is None:
+                key_range_s = (key_point, key_point)
+        else:
+            if key_range is None:
+                key_range = (int(key_point), int(key_point))
+        probe_hash = bloom_mod.hash_value(key_point)
+        probe_domain = bloom_mod.domain_of(key_point)
     krange0 = (
         (int(key_range[0]), int(key_range[1])) if key_range is not None else None
     )
-    files = _committed_block_files(out_dir, part_ids, krange0)
+    files = _committed_block_files(out_dir, part_ids, krange0, key_range_s, as_of)
     out_fields = ", ".join(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )
@@ -342,6 +402,7 @@ def decode_blocks(
         return spark.createDataFrame([], ddl)
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
     krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
+    krange_s = (str(key_range_s[0]), str(key_range_s[1])) if key_range_s is not None else None
 
     wanted_cols = sorted(f.name for f in schema)
 
@@ -350,14 +411,16 @@ def decode_blocks(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from . import bloom as bloom_mod
+
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 # predicate + projection pushdown into the block scan:
                 # only the requested parts' and columns' payload bytes
                 # are read from the file (row-group pruning)
-                flt = pc.field("column").isin(wanted_cols)
+                zflt = None  # part/zone clauses, column-independent
                 if wanted is not None:
-                    flt = flt & pc.field("part_id").isin(wanted)
+                    zflt = pc.field("part_id").isin(wanted)
                 if krange is not None:
                     # zone-map pruning: keep blocks whose sort-key range
                     # overlaps [lo, hi] — and ALWAYS keep null zone maps
@@ -367,7 +430,61 @@ def decode_blocks(
                     overlap = (pc.field("key_hi") >= krange[0]) & (
                         pc.field("key_lo") <= krange[1]
                     )
-                    flt = flt & (overlap | pc.field("key_lo").is_null())
+                    clause = overlap | pc.field("key_lo").is_null()
+                    zflt = clause if zflt is None else zflt & clause
+                if krange_s is not None:
+                    # string zone maps: same overlap + null-keep rule
+                    overlap_s = (pc.field("key_hi_s") >= krange_s[0]) & (
+                        pc.field("key_lo_s") <= krange_s[1]
+                    )
+                    clause = overlap_s | pc.field("key_lo_s").is_null()
+                    zflt = clause if zflt is None else zflt & clause
+                flt = pc.field("column").isin(wanted_cols)
+                if zflt is not None:
+                    flt = flt & zflt
+                if probe_hash is not None:
+                    # metadata-only first read (no payload column):
+                    # test each candidate block's Bloom filter; blocks
+                    # whose filter PROVES the probe absent skip their
+                    # payload read + decode. Blocks without a bloom row
+                    # (unkeyed encodes, non-key columns only) stay.
+                    meta = pq.read_table(
+                        path,
+                        columns=["salt", "block_seq", "key_bloom"],
+                        filters=zflt,
+                        use_threads=False,
+                    )
+                    pairs: set[tuple[int, int]] = set()
+                    blooms: dict[tuple[int, int], bytes] = {}
+                    for s_, q_, kb in zip(
+                        meta.column("salt").to_pylist(),
+                        meta.column("block_seq").to_pylist(),
+                        meta.column("key_bloom").to_pylist(),
+                    ):
+                        pairs.add((s_, q_))
+                        if kb is not None:
+                            blooms[(s_, q_)] = kb
+                    survivors = sorted(
+                        p
+                        for p in pairs
+                        if p not in blooms
+                        or bloom_mod.bloom_might_contain(
+                            blooms[p], probe_hash, probe_domain
+                        )
+                    )
+                    if not survivors:
+                        continue
+                    if len(survivors) < len(pairs):
+                        by_salt: dict[int, list[int]] = {}
+                        for s_, q_ in survivors:
+                            by_salt.setdefault(s_, []).append(q_)
+                        sel = None
+                        for s_, qs in sorted(by_salt.items()):
+                            clause = (pc.field("salt") == s_) & pc.field(
+                                "block_seq"
+                            ).isin(qs)
+                            sel = clause if sel is None else sel | clause
+                        flt = flt & sel
                 tbl = pq.read_table(
                     path,
                     columns=["part_id", "salt", "block_seq", "column", "payload"],

@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--key-range", default=None, metavar="LO,HI",
                     help="zone-map pruned decode: only blocks whose "
                          "sort-key range overlaps [LO,HI] (integral keys)")
+    ap.add_argument("--key-point", default=None, metavar="VALUE",
+                    help="point-lookup pruned decode: zone maps + "
+                         "per-block Bloom filters skip blocks that "
+                         "provably lack VALUE (int if it parses, else "
+                         "string); exact equality applied after decode")
+    ap.add_argument("--as-of", default=None, metavar="SNAPSHOT_ID",
+                    help="time travel: decode only parts committed up "
+                         "to this manifest snapshot id")
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -48,27 +56,36 @@ def main() -> None:
     if args.key_range:
         lo, hi = args.key_range.split(",")
         krange = (int(lo), int(hi))
-    dec = decode_blocks(spark, args.encoded, schema, key_range=krange)
-    if krange is not None:
-        # zone-map pruning is block-granular: apply the exact predicate
-        # so --out and --verify see precisely the requested range
-        from pyspark.sql import functions as F
+    kpoint = None
+    if args.key_point is not None:
+        try:
+            kpoint = int(args.key_point)
+        except ValueError:
+            kpoint = args.key_point
+    dec = decode_blocks(spark, args.encoded, schema, key_range=krange,
+                        key_point=kpoint, as_of=args.as_of)
+    from pyspark.sql import functions as F
 
+    # pruning is block-granular: apply the exact predicate so --out
+    # and --verify see precisely the requested rows
+    if krange is not None:
         dec = dec.filter(
             (F.col(args.key_col) >= krange[0])
             & (F.col(args.key_col) <= krange[1])
         )
+    if kpoint is not None:
+        dec = dec.filter(F.col(args.key_col) == kpoint)
     if args.out:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
         src = spark.read.parquet(args.source)
         if krange is not None:
-            from pyspark.sql import functions as F
-
             src = src.filter(
                 (F.col(args.key_col) >= krange[0])
                 & (F.col(args.key_col) <= krange[1])
             )
+        if kpoint is not None:
+            src = src.filter(F.col(args.key_col) == kpoint)
         rep = verify_roundtrip(src, dec, args.key_col)
         print(json.dumps(rep))
         if not rep["ok"]:

@@ -1,0 +1,207 @@
+"""Bloom-filter point-lookup skipping, string zone maps, and snapshot
+time travel (blocks.py key_lo_s/key_hi_s/key_bloom, bloom.py,
+engine.decode_blocks key_point/key_range_s/as_of)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from libgiddy_spark import bloom as B
+from libgiddy_spark.engine import decode_blocks, encode_snapshot
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- bloom.py unit tests (pure numpy) -------------------------------------
+
+
+def test_string_hash_vector_matches_scalar():
+    vals = ["", "a", "\0a", "a\0", "hello world", "x" * 500, "héllo", "日本語"]
+    arr = pa.array(vals, type=pa.string())
+    vec = B.hash_string_array(arr)
+    assert [int(h) for h in vec] == [B.poly_hash(v.encode()) for v in vals]
+    # sliced (non-zero offset) arrays hash identically
+    sl = B.hash_string_array(arr.slice(2, 4))
+    assert [int(h) for h in sl] == [B.poly_hash(v.encode()) for v in vals[2:6]]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+def test_string_hash_property(vals):
+    vec = B.hash_string_array(pa.array(vals, type=pa.string()))
+    assert [int(h) for h in vec] == [B.poly_hash(v.encode()) for v in vals]
+    assert [int(h) for h in vec] == [B.hash_value(v) for v in vals]
+
+
+def test_int_hash_vector_matches_scalar():
+    iv = np.array([0, 1, -1, 2**62, -(2**62), 42], dtype=np.int64)
+    vec = B.hash_int_array(iv)
+    assert [int(h) for h in vec] == [B.hash_value(int(x)) for x in iv]
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    hashes = B.hash_int_array(np.arange(5000, dtype=np.int64))
+    bl = B.build_bloom(hashes)
+    assert all(B.bloom_might_contain(bl, int(h)) for h in hashes)
+    fps = sum(
+        B.bloom_might_contain(bl, B.hash_value(10_000_000 + i))
+        for i in range(2000)
+    )
+    assert fps < 200  # ~2% design FPR; 10% is a generous noise bound
+
+
+def test_bloom_deterministic_and_unknown_layouts_kept():
+    h = B.hash_string_array(pa.array(["a", "b", "c"]))
+    assert B.build_bloom(h) == B.build_bloom(h)
+    # unknown version / truncated filters must never prune
+    assert B.bloom_might_contain(b"", 123)
+    assert B.bloom_might_contain(b"\xff\x06\x0a" + b"\0" * 128, 123)
+    assert B.bloom_might_contain(None, 123)
+
+
+def test_trunc_bounds_bracket_long_strings():
+    from libgiddy_spark.blocks import MAX_ZONE_STR, _trunc_bound_hi, _trunc_bound_lo
+
+    long = "p" * (MAX_ZONE_STR + 40) + "tail"
+    lo, hi = _trunc_bound_lo(long), _trunc_bound_hi(long)
+    assert len(lo) <= MAX_ZONE_STR and len(hi) <= MAX_ZONE_STR
+    assert lo <= long <= hi
+    short = "short"
+    assert _trunc_bound_lo(short) == _trunc_bound_hi(short) == short
+
+
+# --- Spark pruning tests ---------------------------------------------------
+
+
+def _encode_docs(spark, tmp_path, name, **kw):
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / name)
+    encode_snapshot(spark, src, out, key_col="doc_id", sort_key="text",
+                    block_rows=64, **kw)
+    return src, out, pq.read_schema(src)
+
+
+def test_point_lookup_string_key(spark, tmp_path):
+    """Bloom + string zones: an equality probe decodes a strict subset of
+    blocks, and the exact filter over it equals the source filter."""
+    src, out, schema = _encode_docs(spark, tmp_path, "pt")
+    src_df = spark.read.parquet(src)
+    probe = src_df.agg(F.min("text")).collect()[0][0]
+    dec = decode_blocks(spark, out, schema, key_point=probe)
+    n_candidates = dec.count()
+    assert 0 < n_candidates < src_df.count()  # pruning really skipped blocks
+    got = sorted(r[0] for r in dec.filter(F.col("text") == probe)
+                 .select("doc_id").collect())
+    exp = sorted(r[0] for r in src_df.filter(F.col("text") == probe)
+                 .select("doc_id").collect())
+    assert got == exp and got
+
+
+def test_point_lookup_absent_probe_prunes_everything(spark, tmp_path):
+    """A probe the table provably lacks decodes ZERO blocks (bloom
+    pruning, not just zone overlap)."""
+    src, out, schema = _encode_docs(spark, tmp_path, "ab")
+    probe = spark.read.parquet(src).agg(F.min("text")).collect()[0][0]
+    # same zone range as the real min -> only the bloom can prune it
+    assert decode_blocks(spark, out, schema,
+                         key_point=probe + "\0@absent").count() == 0
+
+
+def test_point_lookup_int_key(spark, tmp_path):
+    """Int sort keys get blooms too: equality probe on event_id."""
+    src = f"{SF}/events.parquet"
+    out = str(tmp_path / "pi")
+    encode_snapshot(spark, src, out, key_col="event_id", block_rows=64)
+    schema = pq.read_schema(src)
+    dec = decode_blocks(spark, out, schema, key_point=123)
+    assert 0 < dec.count() < spark.read.parquet(src).count()
+    assert dec.filter(F.col("event_id") == 123).count() == 1
+
+
+def test_string_range_pruned_decode(spark, tmp_path):
+    """key_range_s decodes only overlapping blocks; exact BETWEEN over
+    it equals the source filter."""
+    src, out, schema = _encode_docs(spark, tmp_path, "sr")
+    src_df = spark.read.parquet(src)
+    texts = sorted(r[0] for r in src_df.select("text").collect())
+    lo, hi = texts[0], texts[24]
+    dec = decode_blocks(spark, out, schema, key_range_s=(lo, hi))
+    assert 0 < dec.count() < len(texts)
+    got = (dec.filter((F.col("text") >= lo) & (F.col("text") <= hi))
+           .select("doc_id"))
+    exp = (src_df.filter((F.col("text") >= lo) & (F.col("text") <= hi))
+           .select("doc_id"))
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in exp.collect())
+
+
+def test_manifest_string_bounds_prune_whole_parts(spark, tmp_path):
+    """Driver-side part pruning via the manifest's string bounds: a
+    range left of every text still decodes correctly (empty), and the
+    manifest carries part-level string bounds."""
+    import json
+
+    src, out, schema = _encode_docs(spark, tmp_path, "mp")
+    parts = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))
+             if '"kind":"part"' in l or '"kind": "part"' in l]
+    assert any(e.get("key_lo_s") for e in parts)
+    assert decode_blocks(spark, out, schema,
+                         key_range_s=("\0", "\0\0")).count() == 0
+
+
+def test_unkeyed_encode_never_prunes(spark, tmp_path):
+    """Blocks encoded WITHOUT string zones/blooms (int sort key) must
+    survive string-range and string-point decodes untouched —
+    over-inclusion, never silent loss."""
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "uk")
+    encode_snapshot(spark, src, out, key_col="doc_id", block_rows=64)
+    schema = pq.read_schema(src)
+    total = spark.read.parquet(src).count()
+    assert decode_blocks(spark, out, schema,
+                         key_range_s=("zzz", "zzzz")).count() == total
+    # int-keyed blocks DO carry an int bloom keyed on doc_id, so a
+    # string probe must not consult it (different domain): full decode
+    assert decode_blocks(spark, out, schema,
+                         key_point="nope").count() == total
+
+
+# --- snapshot time travel --------------------------------------------------
+
+
+def test_time_travel_decode(spark, tmp_path):
+    """as_of decodes exactly the parts committed up to that snapshot:
+    the Iceberg snapshot-isolation read over the append-only manifest."""
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "tt")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 200)
+    b = docs.filter(F.col("doc_id") >= 200)
+    a.coalesce(1).write.parquet(src_dir)
+    from libgiddy_spark.table_io import snapshot_id_of
+
+    encode_snapshot(spark, src_dir, out, key_col="doc_id")
+    snap_a = snapshot_id_of(src_dir)
+    b.coalesce(1).write.mode("append").parquet(src_dir)
+    encode_snapshot(spark, src_dir, out, key_col="doc_id")
+    snap_b = snapshot_id_of(src_dir)
+    assert snap_a != snap_b
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    n_a = decode_blocks(spark, out, schema, as_of=snap_a).count()
+    n_b = decode_blocks(spark, out, schema, as_of=snap_b).count()
+    n_now = decode_blocks(spark, out, schema).count()
+    assert n_a == a.count()
+    assert n_b == n_now == docs.count()
+    ids_a = {r[0] for r in decode_blocks(spark, out, schema, as_of=snap_a)
+             .select("doc_id").collect()}
+    assert ids_a == {r[0] for r in a.select("doc_id").collect()}
+    with pytest.raises(ValueError):
+        decode_blocks(spark, out, schema, as_of="snap-bogus")
