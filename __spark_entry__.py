@@ -197,6 +197,37 @@ def q_pruned_text_range(spark, sf_dir):
     )
 
 
+def q_streaming_windowed_stats(spark, sf_dir):
+    """Structured-Streaming EVENT-TIME aggregation (SURVEY.md §2.2
+    streaming: watermark + tumbling window, beyond the file-drain
+    encode): stream the events table from a directory source, window
+    by 6h of event time, emit integer-exact per-window stats. The
+    oracle is the equivalent batch GROUP BY over epoch-aligned
+    windows — stream result == batch result on a finite drain."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from libgiddy_spark.streaming import windowed_event_stats
+
+    d = tempfile.mkdtemp(prefix="lgs_stream_src_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    return windowed_event_stats(spark, d, window="6 hours",
+                                watermark="12 hours")
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (24h gap) of the events table: the
+    per-user windowed lag + running-sum pattern, fully partitioned by
+    user_id (no global window), integer-exact per-session stats."""
+    from libgiddy_spark.pipeline import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev)
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Grouping-sets coverage (SURVEY.md §2.2): ROLLUP(lang, source)
     corpus census — per (lang, source), per lang, and grand total in
@@ -692,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_text": q_point_lookup_text,
         "pruned_text_range": q_pruned_text_range,
         "corpus_rollup": q_corpus_rollup,
+        "streaming_windowed_stats": q_streaming_windowed_stats,
+        "user_sessions": q_user_sessions,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
@@ -755,6 +788,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text >= (SELECT MIN(text) FROM documents) "
             "AND text <= (SELECT text FROM documents "
             "ORDER BY text LIMIT 1 OFFSET 24)",
+        "streaming_windowed_stats":
+            "SELECT make_timestamp((epoch_us(ts) // 21600000000) "
+            "* 21600000000) AS w_start, COUNT(*) AS n_events, "
+            "CAST(SUM(user_id) AS BIGINT) AS sum_user_id, "
+            "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
+            "CAST(MAX(event_id) AS BIGINT) AS max_event_id "
+            "FROM events GROUP BY 1",
+        "user_sessions":
+            "WITH o AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 86400000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM o) "
+            "SELECT user_id, CAST(sess AS INT) AS session_seq, "
+            "COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end, "
+            "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) "
+            "AS duration_us FROM s GROUP BY user_id, sess",
         "corpus_rollup":
             "SELECT lang, source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "

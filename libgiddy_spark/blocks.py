@@ -303,7 +303,8 @@ def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
         if name not in wanted:  # projection: don't decode dropped columns
             continue
         by_col.setdefault(name, []).append(decode_array(payload))
-    arrays, names = [], []
+    decoded: dict[str, pa.Array] = {}
+    n = 0
     for field in schema:
         if field.name not in by_col:
             continue
@@ -314,10 +315,27 @@ def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
             # Spark's Arrow exchange wants tz-aware micros; engine
             # convention is session timeZone=UTC so values pass through
             typ = pa.timestamp("us", tz="UTC")
-        arrays.append(arr.cast(typ))
+        decoded[field.name] = arr.cast(typ)
+        n = len(arr)
+    arrays, names = [], []
+    for field in schema:
+        if field.name in decoded:
+            arrays.append(decoded[field.name])
+        elif decoded:
+            # SCHEMA EVOLUTION: a column added to the table after this
+            # part was encoded doesn't exist in its blocks — decode it
+            # as nulls (Iceberg add-column read semantics). Needs at
+            # least one requested column present in the part to carry
+            # the row count; a projection of ONLY post-evolution columns
+            # skips pre-evolution parts (documented limitation).
+            typ = field.type
+            if pa.types.is_timestamp(typ):
+                typ = pa.timestamp("us", tz="UTC")
+            arrays.append(pa.nulls(n, type=typ))
+        else:
+            continue
         names.append(field.name)
     pid = table.column("part_id")[0].as_py() if table.num_rows else -1
-    n = len(arrays[0]) if arrays else 0
     arrays.append(pa.array(np.full(n, pid, dtype=np.int32)))
     names.append("part_id")
     return pa.table(arrays, names=names)

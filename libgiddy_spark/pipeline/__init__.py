@@ -40,6 +40,7 @@ from .similarity import (  # noqa: F401
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
+from .sessions import sessionize  # noqa: F401
 from .sketch import (  # noqa: F401
     cms_point_estimate,
     cms_sketch,

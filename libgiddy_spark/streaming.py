@@ -102,3 +102,67 @@ def encode_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_sink_seq = 0
+
+
+def windowed_event_stats(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+):
+    """EVENT-TIME windowed aggregation over a streamed directory
+    (SURVEY.md §2.2 streaming: watermarks + tumbling windows, not just
+    file drain): per epoch-aligned window, integer-exact stats.
+
+    The watermark declares the late-data bound a production run would
+    evict state with; the drain uses ``availableNow`` + COMPLETE output
+    to a memory sink so every window — including the final, never-
+    watermark-passed one — is emitted, which makes the result equal to
+    the batch/oracle aggregation over the same files (append mode would
+    hold back the last window forever on a finite drain). Returns the
+    result DataFrame after the stream terminates."""
+    global _sink_seq
+    import pyarrow.parquet as pq  # noqa: F401  (parity with encode_stream)
+
+    from .table_io import abs_file_of, list_parquet_files
+
+    first = list_parquet_files(source_dir)
+    if not first:
+        raise ValueError(f"no parquet files under {source_dir}")
+    schema_df = spark.read.parquet(abs_file_of(source_dir, first[0][0]))
+    sdf = spark.readStream.schema(schema_df.schema).parquet(source_dir)
+    # parquet infers TIMESTAMP_NTZ; event-time watermarks require
+    # TIMESTAMP (session tz = UTC by engine convention, so values are
+    # unchanged)
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+    )
+    _sink_seq += 1
+    sink = f"lgs_windowed_{_sink_seq}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("w_start"),
+        "n_events",
+        "sum_user_id",
+        "min_event_id",
+        "max_event_id",
+    )
