@@ -138,8 +138,13 @@ def bench_table(spark, src: str, key_col: str, num_parts: int,
     out = f"/tmp/lgs_bench_{abs(hash((src, num_parts)))}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
+    # bench measures the engine's recommended scale configuration: the
+    # shuffle-free direct path (row-group-sliced per-file tasks). The
+    # library default stays "range" (the north-rule shape); A/B at
+    # local[4], 1M-row webtext: direct 11.7 s vs range 17.4 s.
     encode_snapshot(spark, src, out, key_col=key_col,
-                    chunk_parts=max(num_parts, 64), min_slices=min_slices)
+                    chunk_parts=max(num_parts, 64), min_slices=min_slices,
+                    exchange=os.environ.get("SPARK_GRAFT_EXCHANGE", "direct"))
     t_enc = time.time() - t0
     first = list_parquet_files(src)[0][0]
     schema = pq.read_schema(src if os.path.isfile(src) else os.path.join(src, first))

@@ -287,6 +287,46 @@ def make_encode_stream(
     return encode_stream
 
 
+def make_direct_encoder(
+    columns: list[str],
+    sort_key: str | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    block_rows: int = BLOCK_ROWS,
+):
+    """Shuffle-free encode kernel for ``mapInArrow`` over a TASK LIST
+    (part_id, salt, rg_lo, rg_hi, path): each task reads its contiguous
+    parquet row-group slice with pyarrow, sorts it in Arrow, and
+    encodes the whole slice as one (part_id, salt) group — the decode
+    side's one-task-per-file pattern mirrored onto encode, so no row
+    ever crosses an exchange (engine.encode_files exchange='direct')."""
+
+    def encode_tasks(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                rgs = list(range(row["rg_lo"], row["rg_hi"]))
+                if not rgs:
+                    continue
+                pf = pq.ParquetFile(row["path"])
+                tbl = pf.read_row_groups(
+                    rgs, columns=columns, use_threads=False
+                )
+                out = encode_group(
+                    tbl,
+                    int(row["part_id"]),
+                    int(row["salt"]),
+                    columns=columns,
+                    sort_key=sort_key,  # Arrow sort inside the task
+                    forced_codecs=forced_codecs,
+                    block_rows=block_rows,
+                    zone_key=sort_key,
+                )
+                yield from out.to_batches()
+
+    return encode_tasks
+
+
 def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Decode one (part_id, salt) group of block rows back to source rows.
 

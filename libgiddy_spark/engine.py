@@ -36,6 +36,29 @@ def _source_files(path: str) -> list[dict]:
     return [{"path": p, "bytes": s} for p, s in list_parquet_files(path)]
 
 
+def _balanced_bounds(sizes: list[int], k: int) -> list[tuple[int, int]]:
+    """Split indices 0..len(sizes) into <=k contiguous [lo, hi) runs of
+    roughly equal total size (greedy by the running target). Used to
+    map salt slices onto parquet row groups driver-side."""
+    n = len(sizes)
+    k = max(1, min(k, n))
+    total = max(sum(sizes), 1)
+    target = total / k
+    bounds: list[tuple[int, int]] = []
+    start, acc = 0, 0
+    for i, sz in enumerate(sizes):
+        acc += sz
+        remaining = k - len(bounds) - 1
+        # cut when the slice reached its share — or when the elements
+        # left are exactly enough to give every remaining slice one
+        # (otherwise a slightly-late first cut starves all later cuts)
+        if remaining > 0 and (acc >= target or (n - i - 1) == remaining):
+            bounds.append((start, i + 1))
+            start, acc = i + 1, 0
+    bounds.append((start, n))
+    return bounds
+
+
 def encode_snapshot(
     spark: SparkSession,
     source_path: str,
@@ -64,6 +87,7 @@ def encode_files(
     block_rows: int = 65536,
     columns: list[str] | None = None,
     min_slices: int | None = None,
+    exchange: str = "range",
     **_compat,
 ) -> dict:
     """Resumable chunked encode of the given (relpath, bytes) data
@@ -80,6 +104,24 @@ def encode_files(
     so resuming the same out_dir with a different ``columns`` selection
     would skip files encoded under the old selection — use a fresh
     out_dir per selection.
+
+    ``exchange`` picks how rows reach the encoder:
+
+    - ``"range"`` (default): the north-rule shape — salt skewed
+      partitions, ONE ``repartitionByRange`` on (part_id, salt), JVM
+      sort, streaming Arrow encoder. Rows move once through the
+      shuffle; works for any source Spark can scan.
+    - ``"direct"``: ZERO row shuffle. One task per (part, salt) where a
+      salt slice is a contiguous run of parquet ROW GROUPS (sliced
+      driver-side from footers — same zero-scan metadata the salting
+      already reads); each task reads its row groups with pyarrow,
+      sorts in Arrow, and encodes. The only exchange in the plan is a
+      round-robin of the tiny task list — the decode pattern mirrored
+      onto encode. At 100 TB this skips rewriting the whole table
+      through shuffle storage; skew handling is identical (footer-driven
+      fan-out), but a file's split granularity is its row-group count,
+      so single-row-group monster files can't fan out (writers should
+      emit many row groups — Iceberg defaults do).
     """
     t_start = time.time()
     snapshot_id = snapshot_id_of(source_path)
@@ -136,31 +178,64 @@ def encode_files(
     min_slices = min_slices or spark.sparkContext.defaultParallelism
     encoded_parts = 0
 
-    encode_fn = make_encode_stream(
-        data_cols, forced_codecs=forced_codecs, block_rows=block_rows,
-        zone_key=sort_key,
-    )
+    if exchange == "direct":
+        from .blocks import make_direct_encoder
+
+        direct_fn = make_direct_encoder(
+            data_cols, sort_key=sort_key, forced_codecs=forced_codecs,
+            block_rows=block_rows,
+        )
+    else:
+        encode_fn = make_encode_stream(
+            data_cols, forced_codecs=forced_codecs, block_rows=block_rows,
+            zone_key=sort_key,
+        )
 
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
         # read ONLY this chunk's files (no table re-scan per chunk)
         chunk_files = [(p, rel_of[p]) for p in chunk]
-        sub = load_part_files(spark, source_path, chunk_files)
-        if columns:
-            sub = sub.select(*columns, "part_id")
         # salt fan-out from parquet footers: zero scans, zero Spark jobs
         stats = footer_byte_stats(source_path, chunk_files, list(fat_columns))
         total_b = max(sum(stats.values()), 1)
         eff_target = min(target_salt_bytes, max(total_b // min_slices, 1))
         factors = salt_factors(stats, target_bytes=eff_target)
         nslices = max(sum(factors.values()), 1)
-        # the ONE wide op: range exchange on (part_id, salt); the JVM
-        # sort makes groups contiguous so mapInArrow streams them with
-        # no second shuffle (SURVEY.md §3.2)
-        salted = apply_salting(sub, factors, key_col, shuffle_parts=nslices)
-        blocks = salted.sortWithinPartitions(
-            "part_id", "salt", sort_key
-        ).mapInArrow(encode_fn, schema=BLOCKS_DDL)
+        if exchange == "direct":
+            # ZERO-row-shuffle path: a salt slice = a contiguous run of
+            # row groups, balanced by footer byte sizes (driver-side
+            # metadata only); one task reads+sorts+encodes its slice.
+            # The only exchange is a round-robin of this tiny task list.
+            tasks: list[tuple[int, int, int, int, str]] = []
+            for p in chunk:
+                path = abs_file_of(source_path, rel_of[p])
+                md = pq.ParquetFile(path).metadata
+                nrg = md.num_row_groups
+                if nrg == 0:
+                    continue
+                want = max(1, min(int(factors.get(int(p), 1)), nrg))
+                sizes = [md.row_group(i).total_byte_size for i in range(nrg)]
+                for s, (alo, ahi) in enumerate(_balanced_bounds(sizes, want)):
+                    tasks.append((int(p), s, alo, ahi, path))
+            if tasks:
+                tdf = spark.createDataFrame(
+                    tasks,
+                    "part_id int, salt int, rg_lo int, rg_hi int, path string",
+                ).repartition(len(tasks))
+                blocks = tdf.mapInArrow(direct_fn, schema=BLOCKS_DDL)
+            else:  # every file in the chunk is empty
+                blocks = spark.createDataFrame([], BLOCKS_DDL)
+        else:
+            sub = load_part_files(spark, source_path, chunk_files)
+            if columns:
+                sub = sub.select(*columns, "part_id")
+            # the ONE wide op: range exchange on (part_id, salt); the JVM
+            # sort makes groups contiguous so mapInArrow streams them with
+            # no second shuffle (SURVEY.md §3.2)
+            salted = apply_salting(sub, factors, key_col, shuffle_parts=nslices)
+            blocks = salted.sortWithinPartitions(
+                "part_id", "salt", sort_key
+            ).mapInArrow(encode_fn, schema=BLOCKS_DDL)
         tmp = os.path.join(blocks_root, f"_tmp_{chunk[0]}_{chunk[-1]}")
         final = os.path.join(blocks_root, f"chunk-{chunk[0]:05d}-{chunk[-1]:05d}")
         if os.path.exists(final):  # crashed between rename and manifest append
@@ -543,6 +618,7 @@ def roundtrip_df(
     forced_codecs: dict[str, str] | None = None,
     num_parts: int = 8,
     out_dir: str | None = None,
+    exchange: str = "range",
 ) -> DataFrame:
     """Encode source -> blocks -> decode; returns the decoded DataFrame.
 
@@ -574,6 +650,7 @@ def roundtrip_df(
         num_parts=num_parts,
         forced_codecs=forced_codecs,
         columns=columns,
+        exchange=exchange,
     )
     dec = decode_blocks(spark, out, schema)
     keep = columns or [f.name for f in schema]
