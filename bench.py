@@ -122,8 +122,14 @@ def ensure_webtext(spark, rows: int) -> str:
     if not os.path.exists(marker):
         from libgiddy_spark.webtext import webtext_df
 
-        # 12 files -> 12 parts: granular enough for any parallelism here
-        webtext_df(spark, rows, slices=12).write.mode("overwrite").parquet(path)
+        # 12 files -> 12 parts; 16 MB row groups so footer-driven salt
+        # fan-out has boundaries to slice at (production web-corpus
+        # parquet has many row groups per file — one 128 MB row group
+        # per file was an artifact of Spark's writer default, and it
+        # capped the direct path's skew fan-out at 12 tasks)
+        (webtext_df(spark, rows, slices=12).write.mode("overwrite")
+         .option("parquet.block.size", 8 * 1024 * 1024)
+         .parquet(path))
     return path
 
 
@@ -432,8 +438,10 @@ def run_scaling() -> None:
         "executor brings its own memory bus and disks — the regime the "
         "rule's target describes. Engine-side evidence that the job "
         "scales by partition: 64+ independent (part_id, salt) tasks, "
-        "no cross-task state, zero driver-side row processing, exactly "
-        "one shuffle on the encode side and none on decode.",
+        "no cross-task state, zero driver-side row processing, and — "
+        "on the direct encode path bench measures — ZERO row exchange "
+        "on either side (encode tasks read their own row-group slices; "
+        "decode tasks read their own block files).",
         "",
         "## Host capacity probe (hypervisor steal)",
         "",

@@ -178,14 +178,7 @@ def encode_files(
     min_slices = min_slices or spark.sparkContext.defaultParallelism
     encoded_parts = 0
 
-    if exchange == "direct":
-        from .blocks import make_direct_encoder
-
-        direct_fn = make_direct_encoder(
-            data_cols, sort_key=sort_key, forced_codecs=forced_codecs,
-            block_rows=block_rows,
-        )
-    else:
+    if exchange != "direct":
         encode_fn = make_encode_stream(
             data_cols, forced_codecs=forced_codecs, block_rows=block_rows,
             zone_key=sort_key,
@@ -206,22 +199,88 @@ def encode_files(
             # row groups, balanced by footer byte sizes (driver-side
             # metadata only); one task reads+sorts+encodes its slice.
             # The only exchange is a round-robin of this tiny task list.
-            tasks: list[tuple[int, int, int, int, str]] = []
+            # Files with FEWER row groups than their wanted fan-out
+            # (e.g. one giant row group) fall back to ROW-RANGE slices:
+            # each task reads the row groups covering its row span and
+            # slices locally — bounded read amplification instead of a
+            # skew-bound single task.
+            tasks: list[tuple[int, int, int, int, int, int, str]] = []
             for p in chunk:
                 path = abs_file_of(source_path, rel_of[p])
                 md = pq.ParquetFile(path).metadata
                 nrg = md.num_row_groups
                 if nrg == 0:
                     continue
-                want = max(1, min(int(factors.get(int(p), 1)), nrg))
-                sizes = [md.row_group(i).total_byte_size for i in range(nrg)]
-                for s, (alo, ahi) in enumerate(_balanced_bounds(sizes, want)):
-                    tasks.append((int(p), s, alo, ahi, path))
+                want = max(1, int(factors.get(int(p), 1)))
+                if nrg >= want:
+                    sizes = [
+                        md.row_group(i).total_byte_size for i in range(nrg)
+                    ]
+                    for s, (alo, ahi) in enumerate(
+                        _balanced_bounds(sizes, want)
+                    ):
+                        tasks.append((int(p), s, alo, ahi, -1, -1, path))
+                else:
+                    rg_rows = [md.row_group(i).num_rows for i in range(nrg)]
+                    offs = [0]
+                    for r in rg_rows:
+                        offs.append(offs[-1] + r)
+                    total_rows = offs[-1]
+                    want = min(want, max(total_rows, 1))
+                    import bisect
+
+                    for s in range(want):
+                        rlo = s * total_rows // want
+                        rhi = (s + 1) * total_rows // want
+                        if rlo >= rhi:
+                            continue
+                        glo = bisect.bisect_right(offs, rlo) - 1
+                        ghi = bisect.bisect_left(offs, rhi)
+                        if offs[ghi] < rhi:
+                            ghi += 1
+                        tasks.append(
+                            (int(p), s, glo, ghi,
+                             rlo - offs[glo], rhi - offs[glo], path)
+                        )
             if tasks:
+                from .blocks import PLAN_DDL, make_direct_encoder, make_plan_sampler
+
+                # per-part codec-plan job: one tiny task per part samples
+                # the file head, selects codecs, trains FSST ONCE; the
+                # collected plan (codec names + <=2 KiB symbol tables —
+                # codec METADATA, not row data) seeds every slice's
+                # selector cache so salt fan-out never re-trains
+                sample_tasks = sorted({(p, path) for p, _s, *_r, path in tasks})
+                sdf = spark.createDataFrame(
+                    list(sample_tasks), "part_id int, path string"
+                ).repartition(len(sample_tasks))
+                plan: dict[int, dict] = {}
+                for r in sdf.mapInArrow(
+                    make_plan_sampler(data_cols, forced_codecs=forced_codecs),
+                    schema=PLAN_DDL,
+                ).collect():
+                    plan.setdefault(int(r["part_id"]), {})[r["column"]] = (
+                        r["codec"], r["params"], r["fsst"]
+                    )
+                direct_fn = make_direct_encoder(
+                    data_cols, sort_key=sort_key,
+                    forced_codecs=forced_codecs, block_rows=block_rows,
+                    plan=plan,
+                )
+                # logical slicing (salt groups) is independent of the
+                # physical task count: pack ~2 tasks per core and let
+                # each task stream several groups through one Python
+                # worker — per-task overhead (worker roundtrip, Arrow
+                # init, output file commit) costs ~0.15 s each, which
+                # at 64 single-group tasks on local[1] added ~40% wall
+                ntasks = max(1, min(
+                    len(tasks), spark.sparkContext.defaultParallelism * 2
+                ))
                 tdf = spark.createDataFrame(
                     tasks,
-                    "part_id int, salt int, rg_lo int, rg_hi int, path string",
-                ).repartition(len(tasks))
+                    "part_id int, salt int, rg_lo int, rg_hi int, "
+                    "row_lo long, row_hi long, path string",
+                ).repartition(ntasks)
                 blocks = tdf.mapInArrow(direct_fn, schema=BLOCKS_DDL)
             else:  # every file in the chunk is empty
                 blocks = spark.createDataFrame([], BLOCKS_DDL)
@@ -581,8 +640,12 @@ def decode_blocks(
                     out = decode_group(tbl.slice(s, e - s), schema)
                     yield from out.to_batches()
 
+    # one TASK may stream several block files (the loop above): cap the
+    # physical task count at ~2 per core so per-task overhead doesn't
+    # dominate when there are many small block files
+    ntasks = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
     pdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
-        len(files)
+        ntasks
     )
     return pdf.mapInArrow(decode_stream, schema=ddl)
 

@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--block-rows", type=int, default=65536)
     ap.add_argument("--columns", default=None, help="comma-separated subset")
     ap.add_argument("--fat-columns", default="html,text")
+    ap.add_argument("--exchange", default="range",
+                    choices=["range", "direct"],
+                    help="range = salted range shuffle (north-rule "
+                         "shape); direct = zero-row-shuffle per-file "
+                         "tasks over row-group slices (scale path)")
     args = ap.parse_args()
 
     from libgiddy_spark.engine import encode_snapshot
@@ -63,6 +68,7 @@ def main() -> None:
         target_salt_bytes=args.target_salt_bytes,
         block_rows=args.block_rows,
         columns=args.columns.split(",") if args.columns else None,
+        exchange=args.exchange,
     )
     print(json.dumps(summary))
 

@@ -31,7 +31,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--op", required=True,
                     choices=["dedup_corpus", "text_stats", "ann_topk",
-                             "near_dups", "ivf_assign", "hll", "cms"])
+                             "near_dups", "ivf_assign", "hll", "cms",
+                             "sessions"])
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key-col", default=None)
@@ -79,6 +80,10 @@ def main() -> None:
         from libgiddy_spark.pipeline import ivf_assign
 
         res = ivf_assign(df, key=args.key_col or "vec_id", emb=args.emb_col)
+    elif args.op == "sessions":
+        from libgiddy_spark.pipeline import sessionize
+
+        res = sessionize(df, user_col=args.key_col or "user_id")
     elif args.op == "hll":
         from libgiddy_spark.pipeline import hll_registers
 

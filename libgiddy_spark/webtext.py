@@ -23,7 +23,7 @@ LANGS = np.array(["en", "zh", "es", "de", "fr"])
 LANG_CDF = np.cumsum([0.60, 0.12, 0.10, 0.09, 0.09])
 
 _U64 = np.uint64
-GEN_VERSION = 2  # bump when generated content changes (cache-busting)
+GEN_VERSION = 4  # bump when generated content/layout changes (cache-busting)
 
 
 def _mix(ids: np.ndarray, stream: int) -> np.ndarray:

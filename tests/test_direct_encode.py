@@ -78,6 +78,23 @@ def test_direct_skew_fans_out_row_groups(spark, tmp_path):
     assert verify_roundtrip(spark.read.parquet(src_dir), dec, "doc_id")["ok"]
 
 
+def test_direct_row_slice_fallback_single_row_group(spark, tmp_path):
+    """A file with ONE giant row group still fans out: tasks take
+    row-range slices of the covering row group (bounded read
+    amplification instead of one skew-bound task)."""
+    src = f"{SF}/documents.parquet"  # single file, single row group
+    md = pq.ParquetFile(src).metadata
+    assert md.num_row_groups == 1  # precondition for the fallback path
+    out = str(tmp_path / "rows")
+    encode_snapshot(spark, src, out, key_col="doc_id",
+                    exchange="direct", target_salt_bytes=16 * 1024)
+    b = blocks_df(spark, out)
+    assert b.select("salt").distinct().count() > 1
+    dec = decode_blocks(spark, out, pq.read_schema(src))
+    rep = verify_roundtrip(spark.read.parquet(src), dec, "doc_id")
+    assert rep["ok"], rep
+
+
 def test_direct_plan_moves_no_source_rows(spark):
     """The direct encode plan's only exchange is the round-robin of the
     tiny task list — no scan of the source table feeds an exchange
