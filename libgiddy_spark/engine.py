@@ -178,7 +178,17 @@ def encode_files(
     min_slices = min_slices or spark.sparkContext.defaultParallelism
     encoded_parts = 0
 
-    if exchange != "direct":
+    if exchange == "direct":
+        # the range path fails loudly when the sort key isn't among the
+        # encoded columns (sortWithinPartitions references it); match
+        # that instead of silently encoding unsorted, zone-less blocks
+        if sort_key not in data_cols:
+            raise ValueError(
+                f"direct encode: sort key {sort_key!r} must be in the "
+                f"encoded columns {data_cols!r} (zone maps, blooms and "
+                "block ordering derive from it)"
+            )
+    else:
         encode_fn = make_encode_stream(
             data_cols, forced_codecs=forced_codecs, block_rows=block_rows,
             zone_key=sort_key,
@@ -551,11 +561,15 @@ def decode_blocks(
             for path in batch.column(0).to_pylist():
                 # predicate + projection pushdown into the block scan:
                 # only the requested parts' and columns' payload bytes
-                # are read from the file (row-group pruning)
+                # are read from the file (row-group pruning). Files
+                # written BEFORE the string-zone/bloom columns existed
+                # must over-include, never crash: gate each clause on
+                # the file actually having its columns (footer names).
+                file_cols = set(pq.ParquetFile(path).schema_arrow.names)
                 zflt = None  # part/zone clauses, column-independent
                 if wanted is not None:
                     zflt = pc.field("part_id").isin(wanted)
-                if krange is not None:
+                if krange is not None and "key_lo" in file_cols:
                     # zone-map pruning: keep blocks whose sort-key range
                     # overlaps [lo, hi] — and ALWAYS keep null zone maps
                     # (non-integral sort keys, or a group containing a
@@ -566,7 +580,7 @@ def decode_blocks(
                     )
                     clause = overlap | pc.field("key_lo").is_null()
                     zflt = clause if zflt is None else zflt & clause
-                if krange_s is not None:
+                if krange_s is not None and "key_lo_s" in file_cols:
                     # string zone maps: same overlap + null-keep rule
                     overlap_s = (pc.field("key_hi_s") >= krange_s[0]) & (
                         pc.field("key_lo_s") <= krange_s[1]
@@ -576,47 +590,54 @@ def decode_blocks(
                 flt = pc.field("column").isin(wanted_cols)
                 if zflt is not None:
                     flt = flt & zflt
-                if probe_hash is not None:
+                if probe_hash is not None and "key_bloom" in file_cols:
                     # metadata-only first read (no payload column):
                     # test each candidate block's Bloom filter; blocks
                     # whose filter PROVES the probe absent skip their
                     # payload read + decode. Blocks without a bloom row
                     # (unkeyed encodes, non-key columns only) stay.
+                    # Keyed by the FULL (part_id, salt, block_seq): a
+                    # block file holds several parts' groups (tasks are
+                    # packed), and salt/block_seq alone would let one
+                    # part's bloom prune another part's blocks.
                     meta = pq.read_table(
                         path,
-                        columns=["salt", "block_seq", "key_bloom"],
+                        columns=["part_id", "salt", "block_seq", "key_bloom"],
                         filters=zflt,
                         use_threads=False,
                     )
-                    pairs: set[tuple[int, int]] = set()
-                    blooms: dict[tuple[int, int], bytes] = {}
-                    for s_, q_, kb in zip(
+                    trips: set[tuple[int, int, int]] = set()
+                    blooms: dict[tuple[int, int, int], bytes] = {}
+                    for p_, s_, q_, kb in zip(
+                        meta.column("part_id").to_pylist(),
                         meta.column("salt").to_pylist(),
                         meta.column("block_seq").to_pylist(),
                         meta.column("key_bloom").to_pylist(),
                     ):
-                        pairs.add((s_, q_))
+                        trips.add((p_, s_, q_))
                         if kb is not None:
-                            blooms[(s_, q_)] = kb
+                            blooms[(p_, s_, q_)] = kb
                     survivors = sorted(
-                        p
-                        for p in pairs
-                        if p not in blooms
+                        t
+                        for t in trips
+                        if t not in blooms
                         or bloom_mod.bloom_might_contain(
-                            blooms[p], probe_hash, probe_domain
+                            blooms[t], probe_hash, probe_domain
                         )
                     )
                     if not survivors:
                         continue
-                    if len(survivors) < len(pairs):
-                        by_salt: dict[int, list[int]] = {}
-                        for s_, q_ in survivors:
-                            by_salt.setdefault(s_, []).append(q_)
+                    if len(survivors) < len(trips):
+                        by_group: dict[tuple[int, int], list[int]] = {}
+                        for p_, s_, q_ in survivors:
+                            by_group.setdefault((p_, s_), []).append(q_)
                         sel = None
-                        for s_, qs in sorted(by_salt.items()):
-                            clause = (pc.field("salt") == s_) & pc.field(
-                                "block_seq"
-                            ).isin(qs)
+                        for (p_, s_), qs in sorted(by_group.items()):
+                            clause = (
+                                (pc.field("part_id") == p_)
+                                & (pc.field("salt") == s_)
+                                & pc.field("block_seq").isin(qs)
+                            )
                             sel = clause if sel is None else sel | clause
                         flt = flt & sel
                 tbl = pq.read_table(

@@ -58,9 +58,15 @@ def main() -> None:
         krange = (int(lo), int(hi))
     kpoint = None
     if args.key_point is not None:
-        try:
+        # probe type follows the KEY COLUMN's type, not what the text
+        # happens to parse as: '0123' against a string key must stay
+        # the literal string (an int would implicit-cast-match '123')
+        import pyarrow as pa
+
+        ktype = schema.field(args.key_col).type
+        if pa.types.is_integer(ktype) or pa.types.is_timestamp(ktype):
             kpoint = int(args.key_point)
-        except ValueError:
+        else:
             kpoint = args.key_point
     dec = decode_blocks(spark, args.encoded, schema, key_range=krange,
                         key_point=kpoint, as_of=args.as_of)

@@ -42,9 +42,7 @@ def sessionize(
     us = F.unix_micros(F.col(ts_col))
     prev = F.lag(us).over(w)
     brk = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
-    run = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s = events.withColumn("brk", brk).withColumn(
         "session_seq", F.sum("brk").over(run).cast("int")
     )

@@ -126,8 +126,6 @@ def windowed_event_stats(
     hold back the last window forever on a finite drain). Returns the
     result DataFrame after the stream terminates."""
     global _sink_seq
-    import pyarrow.parquet as pq  # noqa: F401  (parity with encode_stream)
-
     from .table_io import abs_file_of, list_parquet_files
 
     first = list_parquet_files(source_dir)
@@ -159,10 +157,16 @@ def windowed_event_stats(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         F.col("w.start").alias("w_start"),
         "n_events",
         "sum_user_id",
         "min_event_id",
         "max_event_id",
     )
+    # the memory sink holds the full aggregation for the session's
+    # lifetime — materialize the (small, already-aggregated) result and
+    # drop the sink table so repeated calls don't accumulate state
+    res = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(sink)
+    return res

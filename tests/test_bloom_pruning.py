@@ -174,6 +174,57 @@ def test_unkeyed_encode_never_prunes(spark, tmp_path):
                          key_point="nope").count() == total
 
 
+def test_point_lookup_multi_part_block_files(spark, tmp_path):
+    """A block FILE holds several parts' groups (tasks are packed ~2
+    per core), all sharing (salt=0, block_seq=0): the bloom survivor
+    filter must key on the FULL (part_id, salt, block_seq) or one
+    part's bloom silently prunes another part's rows."""
+    src_dir = str(tmp_path / "many")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # 12 hash-split files -> 12 parts with overlapping text ranges;
+    # local[4] packs them into <=8 tasks, so files hold 2+ parts
+    docs.repartition(12).write.parquet(src_dir)
+    out = str(tmp_path / "enc")
+    encode_snapshot(spark, src_dir, out, key_col="doc_id",
+                    sort_key="text", exchange="direct")
+    texts = [r[0] for r in docs.select("text").distinct().limit(40).collect()]
+    src_df = spark.read.parquet(src_dir)
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    for probe in texts[::8]:  # 5 probes across different parts
+        got = (decode_blocks(spark, out, schema, key_point=probe)
+               .filter(F.col("text") == probe).count())
+        exp = src_df.filter(F.col("text") == probe).count()
+        assert got == exp and exp >= 1, (got, exp)
+
+
+def test_pruned_decode_over_includes_on_pre_bloom_files(spark, tmp_path):
+    """Block files written before the bloom/string-zone columns existed
+    must OVER-INCLUDE on key_point / key_range_s decodes, not crash."""
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "old")
+    encode_snapshot(spark, src, out, key_col="doc_id", sort_key="text")
+    # simulate a pre-upgrade dataset: strip the new columns from every
+    # committed block file
+    import pyarrow.parquet as pqq
+
+    blocks_root = os.path.join(out, "blocks")
+    for root, _dirs, fs in os.walk(blocks_root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                t = pqq.read_table(p)
+                t = t.drop_columns(["key_bloom", "key_lo_s", "key_hi_s"])
+                pqq.write_table(t, p)
+    schema = pq.read_schema(src)
+    total = spark.read.parquet(src).count()
+    probe = spark.read.parquet(src).agg(F.min("text")).collect()[0][0]
+    dec = decode_blocks(spark, out, schema, key_point=probe)
+    assert dec.count() == total  # no pruning structures -> full decode
+    assert dec.filter(F.col("text") == probe).count() >= 1
+    rng = decode_blocks(spark, out, schema, key_range_s=(probe, probe))
+    assert rng.count() == total
+
+
 # --- snapshot time travel --------------------------------------------------
 
 
