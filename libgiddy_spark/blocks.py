@@ -141,17 +141,35 @@ def encode_group(
     # flavors also feed a per-block Bloom filter for point lookups.
     zone_vals = None
     zone_strs = None
+    zone_valid = None  # per-row validity; None == all rows valid
     key_hashes = None
     key_domain = bloom_mod.DOMAIN_INT
     if zone_key is not None and zone_key in table.column_names and n:
         zk = _normalize(table.column(zone_key))
         if pa.types.is_timestamp(zk.type):
             zk = zk.cast(pa.int64())
-        if pa.types.is_integer(zk.type) and zk.null_count == 0:
-            zone_vals = zk.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            key_hashes = bloom_mod.hash_int_array(zone_vals)
-        elif pa.types.is_string(zk.type) and zk.null_count == 0:
-            zone_strs = zk
+        if pa.types.is_integer(zk.type):
+            # nullable keys still get zone maps over the NON-NULL range:
+            # range/point probes can never match a NULL row (SQL ternary
+            # logic), so pruning on non-null bounds loses nothing, while
+            # the old null_count==0 gate de-zoned a whole block for one
+            # null row. uint64 above int64.max degrades to unzoned
+            # (over-include is always safe) instead of failing encode.
+            try:
+                zi = zk.cast(pa.int64())
+            except (pa.ArrowInvalid, OverflowError):
+                zi = None
+            if zi is not None:
+                if zi.null_count:
+                    zone_valid = ~np.asarray(zi.is_null())
+                    zi = zi.fill_null(0)
+                zone_vals = zi.to_numpy(zero_copy_only=False)
+                key_hashes = bloom_mod.hash_int_array(zone_vals)
+        elif pa.types.is_string(zk.type):
+            zone_strs = zk  # keeps nulls: pc.min_max skips them
+            if zk.null_count:
+                zone_valid = ~np.asarray(zk.is_null())
+                zk = zk.fill_null("")
             key_hashes = bloom_mod.hash_string_array(zk)
             key_domain = bloom_mod.DOMAIN_BYTES
     for col_name in cols:
@@ -194,29 +212,43 @@ def encode_group(
             out["payload"].append(payload)
             out["sha256"].append(hashlib.sha256(payload).hexdigest())
             end = min(start + block_rows, n)
+            vslice = zone_valid[start:end] if zone_valid is not None else None
             if zone_vals is not None and len(chunk):
                 # true min/max of the slice (not first/last): correct even
-                # if a caller ever passes zone_key over unsorted data
+                # if a caller ever passes zone_key over unsorted data.
+                # Nulls are masked out: bounds cover the non-null range
+                # (an all-null slice stays unzoned -> always decoded).
                 zslice = zone_vals[start:end]
-                out["key_lo"].append(int(zslice.min()))
-                out["key_hi"].append(int(zslice.max()))
+                if vslice is not None:
+                    zslice = zslice[vslice]
+                if len(zslice):
+                    out["key_lo"].append(int(zslice.min()))
+                    out["key_hi"].append(int(zslice.max()))
+                else:
+                    out["key_lo"].append(None)
+                    out["key_hi"].append(None)
             else:
                 out["key_lo"].append(None)
                 out["key_hi"].append(None)
             lo_s = hi_s = None
             if zone_strs is not None and len(chunk):
                 mm = pc.min_max(zone_strs.slice(start, end - start))
-                lo_s = _trunc_bound_lo(mm["min"].as_py())
-                hi_s = _trunc_bound_hi(mm["max"].as_py())
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if mx is not None:  # None == all-null slice: stay unzoned
+                    lo_s = _trunc_bound_lo(mn)
+                    hi_s = _trunc_bound_hi(mx)
                 if hi_s is None:
                     lo_s = None  # keep bounds paired for the null-keep rule
             out["key_lo_s"].append(lo_s)
             out["key_hi_s"].append(hi_s)
-            out["key_bloom"].append(
-                bloom_mod.build_bloom(key_hashes[start:end], key_domain)
-                if key_hashes is not None and col_name == zone_key and len(chunk)
-                else None
-            )
+            if key_hashes is not None and col_name == zone_key and len(chunk):
+                hs = key_hashes[start:end]
+                if vslice is not None:
+                    hs = hs[vslice]  # bloom holds only real key values
+                bloom = bloom_mod.build_bloom(hs, key_domain) if len(hs) else None
+            else:
+                bloom = None
+            out["key_bloom"].append(bloom)
             if n == 0:
                 break
     return pa.table(out, schema=BLOCKS_SCHEMA)
@@ -438,17 +470,27 @@ def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
             typ = pa.timestamp("us", tz="UTC")
         decoded[field.name] = arr.cast(typ)
         n = len(arr)
+    if not decoded and table.num_rows and "n_values" in table.column_names:
+        # SCHEMA EVOLUTION, all-post-evolution projection: none of the
+        # requested columns exist in this part's blocks, but the part
+        # still has rows — derive the row count from any stored
+        # column's n_values metadata so the null rows are emitted
+        # (silently skipping the part would be row loss).
+        first_col = cols_present[0]
+        n = sum(
+            nv
+            for name, nv in zip(cols_present,
+                                table.column("n_values").to_pylist())
+            if name == first_col
+        )
     arrays, names = [], []
     for field in schema:
         if field.name in decoded:
             arrays.append(decoded[field.name])
-        elif decoded:
+        elif n or decoded:
             # SCHEMA EVOLUTION: a column added to the table after this
             # part was encoded doesn't exist in its blocks — decode it
-            # as nulls (Iceberg add-column read semantics). Needs at
-            # least one requested column present in the part to carry
-            # the row count; a projection of ONLY post-evolution columns
-            # skips pre-evolution parts (documented limitation).
+            # as nulls (Iceberg add-column read semantics).
             typ = field.type
             if pa.types.is_timestamp(typ):
                 typ = pa.timestamp("us", tz="UTC")

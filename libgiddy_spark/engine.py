@@ -431,7 +431,21 @@ def _committed_block_files(
     ``_PARTS`` markers) are excluded as defense-in-depth even inside
     committed dirs."""
     blocks_root = os.path.join(out_dir, "blocks")
-    entries = Manifest(out_dir).read()
+    m = Manifest(out_dir)
+    idx = m.read_index()
+    if idx is not None:
+        # chunk-granular index (Iceberg manifest-list analogue): the
+        # driver parses O(chunks) summary lines — part lists + chunk
+        # key ranges — plus only the manifest TAIL past the index's
+        # covered byte offset (chunks whose summary append was lost to
+        # a crash, in-flight registry lines). Chunk-level key pruning
+        # is coarser than per-part (a key gap inside a kept chunk
+        # over-includes), but the per-block zone maps inside each file
+        # still prune those reads — over-inclusive only, never loss.
+        index_entries, covered = idx
+        entries = index_entries + m.read_tail(covered)
+    else:  # pre-index manifest: full O(parts) read, identical result
+        entries = m.read()
     accepted: set[str] | None = None
     if as_of is not None:
         accepted = set()
@@ -442,19 +456,29 @@ def _committed_block_files(
                     break
         if as_of not in accepted:
             raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
+
+    def _in_range(e: dict) -> bool:
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            return False  # committed after the as_of snapshot
+        if key_range is not None and e.get("key_lo") is not None:
+            if e["key_hi"] < key_range[0] or e["key_lo"] > key_range[1]:
+                return False  # wholly out of range
+        if key_range_s is not None and e.get("key_lo_s") is not None:
+            if e["key_hi_s"] < key_range_s[0] or e["key_lo_s"] > key_range_s[1]:
+                return False  # wholly out of string range
+        return True
+
     chunk_parts: dict[str, set[int]] = {}
     for e in entries:
-        if e.get("kind") == "part" and e.get("status") == "done" and e.get("chunk_dir"):
-            pid = int(e["part_id"])
-            if accepted is not None and e.get("snapshot_id") not in accepted:
-                continue  # committed after the as_of snapshot
-            if key_range is not None and e.get("key_lo") is not None:
-                if e["key_hi"] < key_range[0] or e["key_lo"] > key_range[1]:
-                    continue  # whole part out of range
-            if key_range_s is not None and e.get("key_lo_s") is not None:
-                if e["key_hi_s"] < key_range_s[0] or e["key_lo_s"] > key_range_s[1]:
-                    continue  # whole part out of string range
-            chunk_parts.setdefault(e["chunk_dir"], set()).add(pid)
+        kind = e.get("kind")
+        if kind == "chunk" and e.get("chunk_dir"):
+            if _in_range(e):
+                chunk_parts.setdefault(e["chunk_dir"], set()).update(
+                    int(p) for p in e.get("parts", ())
+                )
+        elif kind == "part" and e.get("status") == "done" and e.get("chunk_dir"):
+            if _in_range(e):
+                chunk_parts.setdefault(e["chunk_dir"], set()).add(int(e["part_id"]))
     wanted = {int(p) for p in part_ids} if part_ids is not None else None
     files: list[str] = []
     for d, parts in sorted(chunk_parts.items()):
@@ -469,6 +493,49 @@ def _committed_block_files(
                 if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     files.append(os.path.join(root, f))
     return sorted(files)
+
+
+def _evolution_null_parts(
+    out_dir: str,
+    wanted_cols: set[str],
+    part_ids: list[int] | None = None,
+    as_of: str | None = None,
+) -> list[tuple[int, int]]:
+    """(part_id, n_rows) for committed parts that have NONE of the
+    projected columns — an all-post-evolution projection over parts
+    encoded before the add-column. Their block files contain no
+    matching ``column`` rows, so the scan-side projection filter would
+    silently drop them; the manifest's per-column ``n_values`` carries
+    the row count so decode can emit the all-null rows instead (Iceberg
+    add-column read semantics, no row loss)."""
+    entries = Manifest(out_dir).read()
+    accepted: set[str] | None = None
+    if as_of is not None:
+        accepted = set()
+        for e in entries:
+            if e.get("kind") == "snapshot":
+                accepted.add(e["snapshot_id"])
+                if e["snapshot_id"] == as_of:
+                    break
+    wanted_p = {int(p) for p in part_ids} if part_ids is not None else None
+    out: list[tuple[int, int]] = []
+    for e in entries:
+        if e.get("kind") != "part" or e.get("status") != "done":
+            continue
+        pid = int(e["part_id"])
+        if wanted_p is not None and pid not in wanted_p:
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue
+        cols = e.get("columns") or {}
+        if not cols or set(cols) & wanted_cols:
+            continue  # normal decode path covers this part
+        n = next(
+            (int(c["n_values"]) for c in cols.values() if "n_values" in c), 0
+        )
+        if n:
+            out.append((pid, n))
+    return out
 
 
 def decode_blocks(
@@ -668,7 +735,22 @@ def decode_blocks(
     pdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
         ntasks
     )
-    return pdf.mapInArrow(decode_stream, schema=ddl)
+    result = pdf.mapInArrow(decode_stream, schema=ddl)
+    # schema evolution, all-post-evolution projection: parts encoded
+    # before every projected column existed have no matching block rows
+    # at all — emit their rows as nulls from the manifest row counts
+    # instead of silently dropping them (ADVICE r3).
+    evo = _evolution_null_parts(out_dir, set(wanted_cols), part_ids, as_of)
+    for pid, n in evo:
+        nulls = spark.range(n).select(
+            *[
+                F.lit(None).cast(_spark_type_of(f.type)).alias(f.name)
+                for f in schema
+            ],
+            F.lit(pid).cast("int").alias("part_id"),
+        )
+        result = result.unionByName(nulls)
+    return result
 
 
 _SPARK_TYPES = {

@@ -52,46 +52,60 @@ def main() -> None:
         else os.path.join(args.source, first_rel)
     )
     schema = pq.read_schema(schema_path)
-    krange = None
-    if args.key_range:
-        lo, hi = args.key_range.split(",")
-        krange = (int(lo), int(hi))
-    kpoint = None
-    if args.key_point is not None:
-        # probe type follows the KEY COLUMN's type, not what the text
-        # happens to parse as: '0123' against a string key must stay
-        # the literal string (an int would implicit-cast-match '123')
-        import pyarrow as pa
+    # probe types follow the KEY COLUMN's schema, not what the text
+    # happens to parse as: '0123' against a string key must stay the
+    # literal string (an int would implicit-cast-match '123'), and a
+    # timestamp key needs a typed literal for the row-level predicate
+    # (comparing timestamp == bigint is an AnalysisException).
+    import pyarrow as pa
 
-        ktype = schema.field(args.key_col).type
-        if pa.types.is_integer(ktype) or pa.types.is_timestamp(ktype):
-            kpoint = int(args.key_point)
-        else:
-            kpoint = args.key_point
-    dec = decode_blocks(spark, args.encoded, schema, key_range=krange,
-                        key_point=kpoint, as_of=args.as_of)
     from pyspark.sql import functions as F
 
-    # pruning is block-granular: apply the exact predicate so --out
-    # and --verify see precisely the requested rows
-    if krange is not None:
-        dec = dec.filter(
-            (F.col(args.key_col) >= krange[0])
-            & (F.col(args.key_col) <= krange[1])
-        )
-    if kpoint is not None:
-        dec = dec.filter(F.col(args.key_col) == kpoint)
+    ktype = schema.field(args.key_col).type
+    is_ts = pa.types.is_timestamp(ktype)
+    is_int = pa.types.is_integer(ktype)
+
+    def _typed(raw: str):
+        """(pruning probe for decode_blocks, row-predicate literal)."""
+        if is_ts:
+            micros = int(raw)
+            return micros, F.timestamp_micros(F.lit(micros))
+        if is_int:
+            return int(raw), F.lit(int(raw))
+        return raw, F.lit(raw)
+
+    krange = krange_s = krange_lits = None
+    if args.key_range:
+        lo_raw, hi_raw = args.key_range.split(",")
+        lo_p, lo_lit = _typed(lo_raw)
+        hi_p, hi_lit = _typed(hi_raw)
+        krange_lits = (lo_lit, hi_lit)
+        if is_ts or is_int:
+            krange = (lo_p, hi_p)
+        else:  # string sort key -> string zone maps (key_lo_s/key_hi_s)
+            krange_s = (lo_p, hi_p)
+    kpoint = kpoint_lit = None
+    if args.key_point is not None:
+        kpoint, kpoint_lit = _typed(args.key_point)
+    dec = decode_blocks(spark, args.encoded, schema, key_range=krange,
+                        key_range_s=krange_s, key_point=kpoint,
+                        as_of=args.as_of)
+
+    def _exact(df):
+        # pruning is block-granular: apply the exact predicate so --out
+        # and --verify see precisely the requested rows
+        if krange_lits is not None:
+            df = df.filter((F.col(args.key_col) >= krange_lits[0])
+                           & (F.col(args.key_col) <= krange_lits[1]))
+        if kpoint_lit is not None:
+            df = df.filter(F.col(args.key_col) == kpoint_lit)
+        return df
+
+    dec = _exact(dec)
     if args.out:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
-        src = spark.read.parquet(args.source)
-        if krange is not None:
-            src = src.filter(
-                (F.col(args.key_col) >= krange[0])
-                & (F.col(args.key_col) <= krange[1])
-            )
-        if kpoint is not None:
-            src = src.filter(F.col(args.key_col) == kpoint)
+        src = _exact(spark.read.parquet(args.source))
         rep = verify_roundtrip(src, dec, args.key_col)
         print(json.dumps(rep))
         if not rep["ok"]:

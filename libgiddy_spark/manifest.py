@@ -21,6 +21,16 @@ class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "manifest.jsonl")
+        # chunk-granular summary index (Iceberg manifest-list analogue):
+        # one line per committed CHUNK (part-id list + aggregated key
+        # ranges) instead of one per part, so a pruned decode's driver
+        # work is O(chunks), not O(parts). The index is a derived CACHE
+        # over manifest.jsonl — each line records the manifest byte size
+        # it covers ("mend"), and readers fall back to parsing only the
+        # manifest TAIL past the last covered offset (or the whole file
+        # when the index is absent), so a crash between the two appends
+        # can never lose rows.
+        self.index_path = os.path.join(out_dir, "manifest.chunks.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
     def read(self) -> list[dict]:
@@ -111,6 +121,18 @@ class Manifest:
                 }
             ]
         )
+        # slim copy in the chunk index (no files list): time travel's
+        # snapshot ORDER must be recoverable from the index alone, even
+        # for snapshots that committed zero chunks
+        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        line = json.dumps(
+            {"kind": "snapshot", "snapshot_id": snapshot_id, "mend": mend},
+            separators=(",", ":"), sort_keys=True,
+        )
+        with open(self.index_path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def mark_done(self, snapshot_id: str, part_entries: list[dict]) -> None:
         for e in part_entries:
@@ -119,3 +141,96 @@ class Manifest:
             e["snapshot_id"] = snapshot_id
             e.setdefault("ts", time.time())
         self.append(part_entries)
+        self._append_index_summaries(snapshot_id, part_entries)
+
+    def _append_index_summaries(
+        self, snapshot_id: str, part_entries: list[dict]
+    ) -> None:
+        """One chunk-summary line per chunk_dir present in the batch:
+        part-id list + key ranges aggregated over the chunk's parts
+        (None if ANY part is unzoned — chunk pruning must over-include,
+        exactly like the part-level poisoning rule one level down)."""
+        by_chunk: dict[str, list[dict]] = {}
+        for e in part_entries:
+            if e.get("chunk_dir"):
+                by_chunk.setdefault(e["chunk_dir"], []).append(e)
+        if not by_chunk:
+            return
+        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        lines = []
+        for cdir, parts in sorted(by_chunk.items()):
+            def _agg(lo_key: str, hi_key: str):
+                los = [p.get(lo_key) for p in parts]
+                his = [p.get(hi_key) for p in parts]
+                if any(v is None for v in los) or any(v is None for v in his):
+                    return None, None
+                return min(los), max(his)
+
+            klo, khi = _agg("key_lo", "key_hi")
+            klo_s, khi_s = _agg("key_lo_s", "key_hi_s")
+            lines.append(
+                {
+                    "kind": "chunk",
+                    "chunk_dir": cdir,
+                    "snapshot_id": snapshot_id,
+                    "parts": sorted(int(p["part_id"]) for p in parts),
+                    "key_lo": klo,
+                    "key_hi": khi,
+                    "key_lo_s": klo_s,
+                    "key_hi_s": khi_s,
+                    "mend": mend,
+                }
+            )
+        payload = "".join(
+            json.dumps(e, separators=(",", ":"), sort_keys=True) + "\n"
+            for e in lines
+        )
+        with open(self.index_path, "a") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read_index(self) -> tuple[list[dict], int] | None:
+        """(index entries, covered manifest bytes) or None when the
+        index file doesn't exist (pre-upgrade manifests). ``covered``
+        is the LAST line's mend — readers must parse the manifest tail
+        beyond it (chunks committed after a crash between the two
+        appends, plus snapshot headers / registry lines, live there)."""
+        if not os.path.exists(self.index_path):
+            return None
+        entries: list[dict] = []
+        covered = 0
+        with open(self.index_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail: covered stays at prior line
+                entries.append(e)
+                covered = max(covered, int(e.get("mend", 0)))
+        return entries, covered
+
+    def read_tail(self, offset: int) -> list[dict]:
+        """Manifest entries whose lines start at/after byte ``offset``."""
+        if not os.path.exists(self.path):
+            return []
+        entries = []
+        with open(self.path) as f:
+            f.seek(offset)
+            if offset:
+                # offset always lands on a line boundary (mend is the
+                # file size right after a flushed append), but guard
+                # against a concurrent torn write all the same
+                pass
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    entries.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        return entries

@@ -256,3 +256,83 @@ def test_time_travel_decode(spark, tmp_path):
     assert ids_a == {r[0] for r in a.select("doc_id").collect()}
     with pytest.raises(ValueError):
         decode_blocks(spark, out, schema, as_of="snap-bogus")
+
+
+def test_nullable_int_key_still_zones(spark, tmp_path):
+    """A null-bearing sort key zones the NON-NULL range per block (a
+    range/point probe can never match NULL, so pruning on non-null
+    bounds is exact) instead of de-zoning whole blocks (VERDICT r3
+    missing #4). Full decode still returns every row, nulls included."""
+    src = str(tmp_path / "nsrc")
+    out = str(tmp_path / "nenc")
+    tbl = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 37 == 0 else i for i in range(2000)],
+                type=pa.int64(),
+            ),
+            "v": pa.array([f"row-{i}" for i in range(2000)]),
+        }
+    )
+    os.makedirs(src)
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+    encode_snapshot(spark, src, out, key_col="k", block_rows=128)
+    schema = tbl.schema
+    full = decode_blocks(spark, out, schema)
+    assert full.count() == 2000
+    assert full.filter(F.col("k").isNull()).count() == len(
+        [i for i in range(2000) if i % 37 == 0]
+    )
+    # disjoint range prunes to zero even though blocks contain nulls
+    assert decode_blocks(spark, out, schema, key_range=(10_000, 20_000)).count() == 0
+    # in-range probe decodes a strict subset and the exact rows survive
+    dec = decode_blocks(spark, out, schema, key_range=(100, 120))
+    assert 0 < dec.count() < 2000
+    got = sorted(
+        r[0] for r in dec.filter(F.col("k").between(100, 120)).select("k").collect()
+    )
+    assert got == [i for i in range(100, 121) if i % 37 != 0]
+    # point probe through the bloom still finds its row
+    pt = decode_blocks(spark, out, schema, key_point=556)
+    assert 0 < pt.count() < 2000
+    assert pt.filter(F.col("k") == 556).count() == 1
+    # probing a NULLED-OUT value (555 = 15*37) prunes everything: the
+    # bloom holds only real key values
+    assert decode_blocks(spark, out, schema, key_point=555).count() == 0
+
+
+def test_nullable_string_key_still_zones(spark, tmp_path):
+    """Same for string sort keys: non-null bounds + bloom of real values."""
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "senc")
+    vals = [None if i % 29 == 0 else f"url-{i:06d}" for i in range(1500)]
+    tbl = pa.table({"u": pa.array(vals, type=pa.string()),
+                    "i": pa.array(range(1500), type=pa.int64())})
+    os.makedirs(src)
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+    encode_snapshot(spark, src, out, key_col="u", block_rows=128)
+    schema = tbl.schema
+    assert decode_blocks(spark, out, schema).count() == 1500
+    assert (
+        decode_blocks(spark, out, schema, key_range_s=("zzz", "zzzz")).count() == 0
+    )
+    pt = decode_blocks(spark, out, schema, key_point="url-000777")
+    assert 0 < pt.count() < 1500
+    assert pt.filter(F.col("u") == "url-000777").count() == 1
+
+
+def test_uint64_key_above_int64_degrades_to_unzoned(spark, tmp_path):
+    """uint64 sort-key values above int64.max can't be zone-mapped as
+    int64 — encode must DEGRADE to unzoned blocks (always decoded), not
+    fail (ADVICE r3)."""
+    from libgiddy_spark.blocks import encode_group
+
+    big = pa.table(
+        {
+            "k": pa.array([2**63 + 5, 2**63 + 9, 7, 8], type=pa.uint64()),
+            "v": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    out = encode_group(big, part_id=0, salt=0, zone_key="k", sort_key="k")
+    assert out.num_rows > 0  # encode itself survived
+    assert all(v is None for v in out.column("key_lo").to_pylist())

@@ -414,10 +414,11 @@ def test_manifest_zone_map_prunes_whole_parts(spark, tmp_path):
     assert got.count() == 21
 
 
-def test_manifest_zone_map_poisoned_by_unzoned_group(spark, tmp_path):
-    """A part with one null-key salt group must get NO manifest zone
-    map: min/max over the other (zoned) groups would otherwise prune
-    the unzoned group's live rows with the part."""
+def test_null_key_group_keeps_part_zone_map(spark, tmp_path):
+    """Since round 4 a null-bearing key group zones its NON-NULL range
+    (nulls can never match a range/point probe), so the PART keeps a
+    manifest zone map and disjoint ranges prune it entirely — while
+    full decodes still return every row including the null-key one."""
     import numpy as np
     import pyarrow as pa
 
@@ -432,17 +433,21 @@ def test_manifest_zone_map_poisoned_by_unzoned_group(spark, tmp_path):
     out = str(tmp_path / "mixout")
     encode_snapshot(spark, src, out, key_col="k", fat_columns=("t",),
                     target_salt_bytes=1 << 20)
-    # several groups; only the null-carrying one is unzoned
+    # several groups; the null lands in one of them
     salts = {e["salts"] for e in Manifest(out).read() if e.get("kind") == "part"}
     assert max(salts) > 1
-    # manifest must NOT carry a part zone map (poisoned)
+    # manifest DOES carry a part zone map over the non-null range
     parts = [e for e in Manifest(out).read() if e.get("kind") == "part"]
-    assert all(e.get("key_lo") is None for e in parts), parts
-    # a range far outside the data must still list the part's files
-    assert _committed_block_files(out, key_range=(10**6, 2 * 10**6))
-    # and the unzoned group's rows survive any range decode
-    dec = decode_blocks(spark, out, pa.schema([("k", pa.int64()),
-                                               ("t", pa.string())]),
-                        key_range=(0, 100))
+    assert all(e.get("key_lo") == 0 and e.get("key_hi") == n - 1
+               for e in parts), parts
+    # a range far outside the data prunes the whole part driver-side
+    assert _committed_block_files(out, key_range=(10**6, 2 * 10**6)) == []
+    # in-range decode: exact rows survive (null at 7 can't match)
+    schema = pa.schema([("k", pa.int64()), ("t", pa.string())])
+    dec = decode_blocks(spark, out, schema, key_range=(0, 100))
     got = dec.filter((F.col("k") >= 0) & (F.col("k") <= 100)).count()
     assert got == 100  # 0..100 minus the null at 7
+    # full decode still returns all rows, the null-key row included
+    full = decode_blocks(spark, out, schema)
+    assert full.count() == n
+    assert full.filter(F.col("k").isNull()).count() == 1

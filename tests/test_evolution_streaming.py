@@ -79,3 +79,29 @@ def test_streaming_windowed_stats_match_batch(spark, tmp_path):
                             for r in rows)
     assert k(got.collect()) == k(exp.collect())
     assert got.count() > 1  # actually windowed, not one global bucket
+
+
+def test_all_post_evolution_projection_emits_null_rows(spark, tmp_path):
+    """Projecting ONLY post-evolution columns must still emit one null
+    row per pre-evolution source row (Iceberg add-column semantics) —
+    the scan-side column filter matches nothing for old parts, so the
+    rows come from the manifest's n_values (ADVICE r3 row-loss fix)."""
+    src_dir = str(tmp_path / "src2")
+    out = str(tmp_path / "enc2")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 200)
+    b = docs.filter(F.col("doc_id") >= 200)
+    a.coalesce(1).write.parquet(src_dir)
+    encode_files(spark, src_dir, list_parquet_files(src_dir), out,
+                 key_col="doc_id", columns=["doc_id", "text"])
+    b.coalesce(1).write.mode("append").parquet(src_dir)
+    encode_files(spark, src_dir, list_parquet_files(src_dir), out,
+                 key_col="doc_id", columns=["doc_id", "text", "lang"])
+    full = pq.read_schema(f"{SF}/documents.parquet")
+    schema = pa.schema([full.field("lang")])  # lang ONLY: absent in part A
+    dec = decode_blocks(spark, out, schema)
+    assert dec.count() == docs.count()  # no silent row loss
+    assert dec.filter(F.col("lang").isNull()).count() == a.count()
+    got = sorted(r["lang"] for r in dec.filter(F.col("lang").isNotNull()).collect())
+    exp = sorted(r["lang"] for r in b.select("lang").collect())
+    assert got == exp

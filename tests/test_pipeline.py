@@ -481,3 +481,23 @@ def test_unigram_surprisal_orders_rare_above_boilerplate(spark):
     assert got[0]["sum_bits"] == 10 * bits_the
     assert got[3]["sum_bits"] == 10 * bits_rare
     assert got[3]["mean_bits_x1000"] > got[0]["mean_bits_x1000"]
+
+
+def test_unigram_surprisal_broadcasts_vocab(spark):
+    """The token->count join must be a broadcast (no skewed shuffle on
+    hot stopword keys, VERDICT r3): plan shows BroadcastHashJoin and no
+    SortMergeJoin."""
+    from libgiddy_spark.pipeline import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox " + ("the " * (i % 5))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = unigram_surprisal(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # fallback path stays available and agrees
+    slow = unigram_surprisal(df, broadcast_vocab=False)
+    k = lambda rows: sorted(tuple(r) for r in rows)
+    assert k(out.collect()) == k(slow.collect())
