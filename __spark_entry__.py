@@ -579,6 +579,22 @@ def q_multimodal_decode_audio(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL compressed-image decode: deterministic zlib-compressed PNGs
+    per doc_id (true IHDR/IDAT/IEND chunks, CRC-checked, scanline
+    filter = doc_id%5 so all five PNG filters appear across the
+    corpus), parsed back by the stdlib-zlib PNG reader; same analytic
+    pixel oracle as BMP (pixel = (3x+7y+11d+5c) % 256, c indexing
+    BGR)."""
+    from libgiddy_spark.pipeline.multimodal import image_stats, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="png")
+    return image_stats(media).select(
+        F.col("key").alias("doc_id"), "width", "height",
+        "sum_b", "sum_g", "sum_r", "min_v", "max_v",
+    )
+
+
 def q_multimodal_resize_image(spark, sf_dir):
     """Decode -> nearest-neighbor resize to 8x4 -> exact stats of the
     resized image (the thumbnail step; source-index map sx = x*w // 8
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_image": q_multimodal_decode_image,
+        "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_audio": q_multimodal_decode_audio,
         "multimodal_resize_image": q_multimodal_resize_image,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -856,6 +873,23 @@ def oracle_sql() -> dict[str, str]:
             "strlen(text) - strlen(replace(text, '<', '')) AS n_tag, "
             "strlen(text) AS feat_len FROM documents",
         "multimodal_decode_image":
+            "WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w, "
+            "CAST(8 + doc_id % 4 AS INT) AS h FROM documents), "
+            "px AS (SELECT d.doc_id, d.w, d.h, c.c AS c, "
+            "((3*x.x + 7*y.y + 11*d.doc_id + 5*c.c) % 256) AS v "
+            "FROM dims d JOIN range(0, 24) x(x) ON x.x < d.w "
+            "JOIN range(0, 12) y(y) ON y.y < d.h "
+            "JOIN range(0, 3) c(c) ON TRUE) "
+            "SELECT doc_id, MIN(w) AS width, MIN(h) AS height, "
+            "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b, "
+            "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+            "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r, "
+            "CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v "
+            "FROM px GROUP BY doc_id",
+        # same analytic pixel oracle: the PNG container (zlib IDAT,
+        # per-image scanline filter doc_id%5) must decode to the exact
+        # pixels the BMP path carries uncompressed
+        "multimodal_decode_png":
             "WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w, "
             "CAST(8 + doc_id % 4 AS INT) AS h FROM documents), "
             "px AS (SELECT d.doc_id, d.w, d.h, c.c AS c, "

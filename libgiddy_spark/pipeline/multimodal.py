@@ -66,6 +66,148 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return px.copy() if top_down else px[::-1].copy()
 
 
+# ---------------------------------------------------------------- PNG
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG bytes (stdlib zlib).
+
+    ``filter_type`` applies one scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every row — the synthesizer varies it per
+    image so the decoder's whole filter matrix is exercised by the
+    oracle-checked corpus, not just the easy None path."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8 and 0 <= filter_type <= 4
+    bpp = 3
+    px = pixels.astype(np.int64)
+    flat = px.reshape(h, w * bpp)
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_type == 0:
+        raw = flat
+    elif filter_type == 1:
+        raw = flat - left
+    elif filter_type == 2:
+        raw = flat - up
+    elif filter_type == 3:
+        raw = flat - (left + up) // 2
+    else:  # Paeth predictor, vectorized (encode side needs no recursion)
+        p = left + up - ul
+        pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        raw = flat - pred
+    raw = (raw % 256).astype(np.uint8)
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), raw], axis=1
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit truecolor PNG bytes -> (h, w, 3) uint8 RGB pixels.
+
+    A real (if minimal) PNG reader on stdlib zlib alone: chunk walk
+    with multi-IDAT concatenation, full scanline UN-filtering (None /
+    Sub / Up / Average / Paeth — Sub by strided cumsum, the
+    left-recursive Average/Paeth per pixel), 8-bit color types 2 (RGB)
+    and 6 (RGBA, alpha dropped). Interlaced / paletted / 16-bit images
+    raise NotImplementedError explicitly."""
+    import zlib
+
+    if buf[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    n = len(buf)
+    while pos + 8 <= n:
+        clen = struct.unpack_from(">I", buf, pos)[0]
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack_from(">I", buf, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if scan.size != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    scan = scan.reshape(h, stride + 1)
+    filters = scan[:, 0]
+    raw = scan[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = int(filters[y])
+        row = raw[y]
+        if ft == 0:
+            r = row.copy()
+        elif ft == 1:  # Sub: strided cumsum per channel, mod 256
+            r = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            r = (row + prior) % 256
+        elif ft == 3:  # Average (left-recursive)
+            r = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                r[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:  # Paeth (left-recursive)
+            r = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                r[x] = (row[x] + _paeth(int(left), int(prior[x]), int(ul))) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        recon[y] = r
+        prior = r
+    px = recon.astype(np.uint8).reshape(h, w, bpp)
+    return px[:, :, :3].copy()  # drop alpha for RGBA
+
+
 # ---------------------------------------------------------------- WAV
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -129,13 +271,19 @@ def decode_media(buf: bytes) -> dict:
         px = decode_bmp(buf)
         return {"kind": "image", "width": px.shape[1],
                 "height": px.shape[0], "pixels": px}
+    if head[: len(PNG_SIG)] == PNG_SIG:
+        # decode_png returns RGB; the engine's pixel convention is BGR
+        # (BMP native order), so downstream stats stay channel-stable
+        px = decode_png(buf)[:, :, ::-1]
+        return {"kind": "image", "width": px.shape[1],
+                "height": px.shape[0], "pixels": px}
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         rate, channels, samples = decode_wav(buf)
         return {"kind": "audio", "rate": rate, "channels": channels,
                 "samples": samples}
     raise NotImplementedError(
-        "compressed media formats (JPEG/PNG/MP3/...) require codec "
-        "libraries not present in this container"
+        "JPEG/MP3/video formats require codec libraries not present "
+        "in this container (PNG/BMP/WAV decode natively above)"
     )
 
 
@@ -226,6 +374,10 @@ def synthesize_media(
     function of the key that a SQL oracle can recompute:
 
       image: w=16+d%8, h=8+d%4, channel c at (x,y) = (3x+7y+11d+5c)%256
+      png:   same pixels as image, but stored as a REAL zlib-compressed
+             PNG whose scanline filter is d%5 (all five filters appear
+             across the corpus); c indexes BGR in both, so one oracle
+             covers both container formats
       audio: n=256+d%64, rate=8000+(d%4)*4000, s(i)=((i*(d+7))%65536)-32768
     """
     key_type = dict(df.dtypes)[key]
@@ -236,11 +388,15 @@ def synthesize_media(
             payloads = []
             for kval in keys.to_pylist():
                 d = int(kval)
-                if kind == "image":
+                if kind in ("image", "png"):
                     w, h = 16 + d % 8, 8 + d % 4
                     y, x, c = np.ogrid[0:h, 0:w, 0:3]
                     px = ((3 * x + 7 * y + 11 * d + 5 * c) % 256).astype(np.uint8)
-                    payloads.append(encode_bmp(px))
+                    if kind == "png":
+                        # px is BGR by engine convention; PNG stores RGB
+                        payloads.append(encode_png(px[:, :, ::-1], d % 5))
+                    else:
+                        payloads.append(encode_bmp(px))
                 else:
                     n = 256 + d % 64
                     rate = 8000 + (d % 4) * 4000

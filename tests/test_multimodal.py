@@ -79,8 +79,10 @@ def test_decode_media_dispatch():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_media(encode_bmp(px))["kind"] == "image"
     assert decode_media(encode_wav(np.zeros(4, np.int16)))["kind"] == "audio"
+    # PNG is decoded natively since round 4; JPEG remains the declared
+    # codec-library plug point
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def _expected_image(d):
@@ -166,3 +168,70 @@ def test_spark_resize_and_frame_stats_match_analytic(spark):
         assert r["max_frame_sum"] == int(sums.max())
         assert r["min_frame_sum"] == int(sums.min())
         assert r["frame0_sum"] == int(sums[0])
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png are inverse for every scanline filter type
+    (None/Sub/Up/Average/Paeth), RGB exactness bit-for-bit."""
+    import numpy as np
+
+    from libgiddy_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for ft in range(5):
+        px = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px, ft)) == px).all(), f"filter {ft}"
+
+
+def test_png_crc_and_format_guards():
+    import numpy as np
+    import pytest
+
+    from libgiddy_spark.pipeline.multimodal import decode_png, encode_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    buf = bytearray(encode_png(px))
+    buf[40] ^= 0xFF  # corrupt IDAT byte -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_decode_media_dispatches_png():
+    """PNG routes through decode_media with BGR channel order matching
+    the BMP convention — identical pixels through either container."""
+    import numpy as np
+
+    from libgiddy_spark.pipeline.multimodal import (
+        decode_media, encode_bmp, encode_png)
+
+    rng = np.random.default_rng(7)
+    bgr = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    via_bmp = decode_media(encode_bmp(bgr))
+    via_png = decode_media(encode_png(bgr[:, :, ::-1], filter_type=4))
+    assert via_bmp["kind"] == via_png["kind"] == "image"
+    assert (via_bmp["pixels"] == via_png["pixels"]).all()
+
+
+def test_png_rgba_alpha_dropped():
+    """Color type 6 (RGBA) decodes; alpha is dropped from the pixel
+    matrix (stats are defined over color channels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from libgiddy_spark.pipeline.multimodal import (
+        PNG_SIG, _png_chunk, decode_png)
+
+    h, w = 3, 5
+    rng = np.random.default_rng(1)
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rgba.reshape(h, w * 4)], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    buf = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(buf) == rgba[:, :, :3]).all()
