@@ -242,6 +242,30 @@ def q_streaming_windowed_stats(spark, sf_dir):
                                 watermark="12 hours")
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState +
+    event-time timeout): gap-based sessionization keyed on user_id,
+    emitting a session exactly when the watermark passes its end+gap.
+    Drain-deterministic: on an availableNow drain the emitted set
+    equals batch sessionize(gap=6h) restricted to sessions closed by
+    the FINAL watermark (floor(max_ts/1ms) - 12h, Spark's ms-granular
+    watermark), which the oracle recomputes exactly. Sessions still
+    open at end-of-stream stay in state, unemitted — append-mode
+    exactly-once semantics, no complete-mode re-emission."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from libgiddy_spark.streaming import streaming_sessions
+
+    d = tempfile.mkdtemp(prefix="lgs_sess_src_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    return streaming_sessions(spark, d, gap_us=6 * 3600 * 1_000_000,
+                              watermark="12 hours")
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (24h gap) of the events table: the
     per-user windowed lag + running-sum pattern, fully partitioned by
@@ -766,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "streaming_windowed_stats": q_streaming_windowed_stats,
         "user_sessions": q_user_sessions,
+        "streaming_sessions": q_streaming_sessions,
         "codec_stats_lang": q_codec_stats_lang,
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
@@ -852,6 +877,26 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end, "
             "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) "
             "AS duration_us FROM s GROUP BY user_id, sess",
+        # batch sessionize (6h gap) restricted to sessions the FINAL
+        # watermark closed: wm = (floor(max_ts_us/1000) - 12h_ms) * 1000
+        # (Spark watermarks are ms-granular)
+        "streaming_sessions":
+            "WITH o AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM o), "
+            "wm AS (SELECT (epoch_us(MAX(ts)) // 1000 - 43200000) * 1000 "
+            "AS wm_us FROM events), "
+            "g AS (SELECT user_id, CAST(sess AS INT) AS session_seq, "
+            "COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end, "
+            "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) "
+            "AS duration_us FROM s GROUP BY user_id, sess) "
+            "SELECT g.* FROM g, wm "
+            "WHERE epoch_us(g.t_end) + 21600000000 < wm.wm_us",
         "corpus_rollup":
             "SELECT lang, source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "

@@ -105,3 +105,79 @@ def test_all_post_evolution_projection_emits_null_rows(spark, tmp_path):
     got = sorted(r["lang"] for r in dec.filter(F.col("lang").isNotNull()).collect())
     exp = sorted(r["lang"] for r in b.select("lang").collect())
     assert got == exp
+
+
+def test_streaming_sessions_multibatch_matches_batch_subset(spark, tmp_path):
+    """Stateful sessionization across MULTIPLE micro-batches (files
+    staged in event-time order with distinct mtimes, one per trigger):
+    emitted sessions equal batch sessionize restricted to final-
+    watermark-closed sessions; session_seq numbering matches."""
+    import time
+
+    from libgiddy_spark.pipeline.sessions import sessionize
+    from libgiddy_spark.streaming import streaming_sessions
+
+    gap_us = 6 * 3600 * 1_000_000
+    d = str(tmp_path / "sess_src")
+    os.makedirs(d)
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # three time-ordered files; mtimes staged so the file source
+    # processes them in event-time order (watermark only advances)
+    parts = ev.orderBy("ts").collect()
+    cut = len(parts) // 3
+    for i, chunk in enumerate([parts[:cut], parts[cut:2*cut], parts[2*cut:]]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        src = next(p for p in os.listdir(str(tmp_path / f"stage{i}"))
+                   if p.endswith(".parquet"))
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{i}"), src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    got = streaming_sessions(spark, d, gap_us=gap_us,
+                             watermark="12 hours",
+                             max_files_per_trigger=1)
+    batch = sessionize(ev, gap_us=gap_us)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    wm_us = (int(mx.timestamp() * 1_000_000) // 1000 - 12 * 3600 * 1000) * 1000
+    exp = batch.filter(F.unix_micros(F.col("t_end")) + gap_us < wm_us)
+    cols = ["user_id", "session_seq", "n_events", "t_start", "t_end",
+            "duration_us"]
+    k = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert k(got) == k(exp)
+    assert 0 < got.count() < batch.count()  # some sessions held open
+
+
+def test_windowed_append_mode_emits_closed_windows(spark, tmp_path):
+    """Append-mode file-sink windowed aggregation emits EXACTLY the
+    watermark-closed windows of the batch aggregation (the 100TB-shaped
+    variant: one write per window, state evicted, no memory sink)."""
+    import shutil
+
+    from libgiddy_spark.streaming import windowed_event_stats_append
+
+    d = str(tmp_path / "wsrc")
+    os.makedirs(d)
+    shutil.copy(f"{SF}/events.parquet", os.path.join(d, "events.parquet"))
+    got = windowed_event_stats_append(
+        spark, d, str(tmp_path / "wout"), window="6 hours",
+        watermark="12 hours")
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    wm_ms = int(mx.timestamp() * 1_000_000) // 1000 - 12 * 3600 * 1000
+    exp = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("user_id").cast("long").alias("sum_user_id"),
+             F.min("event_id").cast("long").alias("min_event_id"),
+             F.max("event_id").cast("long").alias("max_event_id"))
+        .filter(F.unix_millis(F.col("w.end")) <= wm_ms)  # closed only
+        .select(F.col("w.start").alias("w_start"), "n_events",
+                "sum_user_id", "min_event_id", "max_event_id")
+    )
+    k = lambda df: sorted(tuple(r) for r in df.collect())
+    assert k(got) == k(exp)
+    assert 0 < got.count() < ev.groupBy(F.window("ts", "6 hours")).count().count()
