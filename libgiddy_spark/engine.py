@@ -322,30 +322,14 @@ def encode_files(
         with open(os.path.join(tmp, "_PARTS"), "w") as f:
             f.write(" ".join(str(int(p)) for p in chunk))
         os.rename(tmp, final)  # atomic commit of the chunk's data
-        # per-part metrics from the written files (payload column pruned)
-        mdf = (
-            spark.read.parquet(final)
-            .groupBy("part_id", "column")
-            .agg(
-                F.first("codec").alias("codec"),
-                F.sum("n_values").alias("n_values"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.count("*").alias("n_blocks"),
-                F.first("codec_params").alias("codec_params"),
-                F.min("key_lo").alias("key_lo"),
-                F.max("key_hi").alias("key_hi"),
-                F.min("key_lo_s").alias("key_lo_s"),
-                F.max("key_hi_s").alias("key_hi_s"),
-                # a part zone map is only valid if EVERY block is zoned:
-                # min/max skip nulls, and one unzoned group inside an
-                # otherwise-zoned part would be silently pruned with it
-                F.sum(F.when(F.col("key_lo").isNull(), 1).otherwise(0))
-                .alias("n_unzoned"),
-                F.sum(F.when(F.col("key_lo_s").isNull(), 1).otherwise(0))
-                .alias("n_unzoned_s"),
-            )
-        ).collect()
+        # per-part metrics from the written files' METADATA columns
+        # (payload never read). Driver-side threaded pyarrow read — a
+        # chunk holds O(cores) task files, so this replaces a whole
+        # second Spark job (scan + shuffle + collect, ~0.5-1 s fixed
+        # cost per chunk; VERDICT r3 #8) with milliseconds of footer
+        # work. Chunks beyond the file-count guard fall back to the
+        # distributed aggregation.
+        mdf = _chunk_metrics_rows(spark, final)
         per_part: dict[int, dict] = {
             int(p): {
                 "part_id": int(p),
@@ -493,6 +477,95 @@ def _committed_block_files(
                 if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     files.append(os.path.join(root, f))
     return sorted(files)
+
+
+_METRIC_COLS = [
+    "part_id", "column", "codec", "n_values", "raw_bytes", "enc_bytes",
+    "codec_params", "key_lo", "key_hi", "key_lo_s", "key_hi_s",
+]
+
+
+def _chunk_metrics_rows(spark: SparkSession, final: str) -> list[dict]:
+    """Per-(part, column) metric rows for one committed chunk dir,
+    aggregated from the block files' metadata columns (payload bytes
+    never touched). Threaded pyarrow in the driver for the normal
+    O(cores)-files case; a chunk with very many files (huge clusters)
+    falls back to the distributed groupBy so driver work stays
+    bounded."""
+    import concurrent.futures as cf
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(final, f)
+        for f in os.listdir(final)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if len(files) > 512:
+        rows = (
+            spark.read.parquet(final)
+            .groupBy("part_id", "column")
+            .agg(
+                F.first("codec").alias("codec"),
+                F.sum("n_values").alias("n_values"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.count("*").alias("n_blocks"),
+                F.first("codec_params").alias("codec_params"),
+                F.min("key_lo").alias("key_lo"),
+                F.max("key_hi").alias("key_hi"),
+                F.min("key_lo_s").alias("key_lo_s"),
+                F.max("key_hi_s").alias("key_hi_s"),
+                F.sum(F.when(F.col("key_lo").isNull(), 1).otherwise(0))
+                .alias("n_unzoned"),
+                F.sum(F.when(F.col("key_lo_s").isNull(), 1).otherwise(0))
+                .alias("n_unzoned_s"),
+            )
+        ).collect()
+        return [r.asDict() for r in rows]
+
+    def rd(p: str) -> pa.Table:
+        f = pq.ParquetFile(p)
+        have = set(f.schema_arrow.names)
+        return f.read(columns=[c for c in _METRIC_COLS if c in have])
+
+    if not files:
+        return []
+    with cf.ThreadPoolExecutor(min(16, len(files))) as ex:
+        tables = [t for t in ex.map(rd, files) if t.num_rows]
+    if not tables:
+        return []
+    df = pa.concat_tables(tables, promote_options="default").to_pandas()
+    out: list[dict] = []
+    for (pid, col), sub in df.groupby(["part_id", "column"], sort=False):
+        # codec is constant per (part, column); the real codec_params
+        # live on each salt slice's block_seq-0 row, the rest are "{}"
+        params = next(
+            (p for p in sub["codec_params"] if p and p != "{}"), "{}"
+        )
+        klo = sub["key_lo"].dropna()
+        khi = sub["key_hi"].dropna()
+        klo_s = sub["key_lo_s"].dropna()
+        khi_s = sub["key_hi_s"].dropna()
+        out.append(
+            {
+                "part_id": int(pid),
+                "column": col,
+                "codec": sub["codec"].iloc[0],
+                "n_values": int(sub["n_values"].sum()),
+                "raw_bytes": int(sub["raw_bytes"].sum()),
+                "enc_bytes": int(sub["enc_bytes"].sum()),
+                "n_blocks": int(len(sub)),
+                "codec_params": params,
+                "key_lo": int(klo.min()) if len(klo) else None,
+                "key_hi": int(khi.max()) if len(khi) else None,
+                "key_lo_s": klo_s.min() if len(klo_s) else None,
+                "key_hi_s": khi_s.max() if len(khi_s) else None,
+                "n_unzoned": int(sub["key_lo"].isna().sum()),
+                "n_unzoned_s": int(sub["key_lo_s"].isna().sum()),
+            }
+        )
+    return out
 
 
 def _evolution_null_parts(
