@@ -353,8 +353,14 @@ def make_plan_sampler(
                 pf = pq.ParquetFile(row["path"])
                 if pf.metadata.num_row_groups == 0:
                     continue
-                tbl = pf.read_row_groups([0], columns=columns,
-                                         use_threads=False)
+                # stream just the first sample_rows out of row group 0
+                # instead of materializing the whole (8-128 MB) group:
+                # the plan job reads ~sample-sized bytes per part
+                first = next(pf.iter_batches(
+                    batch_size=sample_rows, row_groups=[0],
+                    columns=columns, use_threads=False,
+                ))
+                tbl = pa.Table.from_batches([first])
                 if tbl.num_rows > sample_rows:
                     tbl = tbl.slice(0, sample_rows)
                 out = {k: [] for k in

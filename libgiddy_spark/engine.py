@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import time
 
 import pyarrow as pa
@@ -194,8 +195,19 @@ def encode_files(
             zone_key=sort_key,
         )
 
+    prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _pt = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _pt
+        if prof:
+            now = time.time()
+            print(f"[lgs-prof] {label}: {now - _pt:.3f}s", file=sys.stderr)
+            _pt = now
+
     for lo in range(0, len(pending), chunk_parts):
         chunk = pending[lo : lo + chunk_parts]
+        _mark("chunk_setup")
         # read ONLY this chunk's files (no table re-scan per chunk)
         chunk_files = [(p, rel_of[p]) for p in chunk]
         # salt fan-out from parquet footers: zero scans, zero Spark jobs
@@ -204,6 +216,7 @@ def encode_files(
         eff_target = min(target_salt_bytes, max(total_b // min_slices, 1))
         factors = salt_factors(stats, target_bytes=eff_target)
         nslices = max(sum(factors.values()), 1)
+        _mark("footer_stats")
         if exchange == "direct":
             # ZERO-row-shuffle path: a salt slice = a contiguous run of
             # row groups, balanced by footer byte sizes (driver-side
@@ -261,9 +274,18 @@ def encode_files(
                 # codec METADATA, not row data) seeds every slice's
                 # selector cache so salt fan-out never re-trains
                 sample_tasks = sorted({(p, path) for p, _s, *_r, path in tasks})
+                # pack parts into ~1 task per core slot (plan work is
+                # near-uniform per part) and slice the list driver-side:
+                # parallelize() partitions in place, where the previous
+                # createDataFrame().repartition(n) added a round-robin
+                # EXCHANGE stage (~0.3 s fixed) to shuffle a <1 KiB list
+                nplan = max(1, min(
+                    len(sample_tasks), spark.sparkContext.defaultParallelism
+                ))
                 sdf = spark.createDataFrame(
-                    list(sample_tasks), "part_id int, path string"
-                ).repartition(len(sample_tasks))
+                    spark.sparkContext.parallelize(sample_tasks, nplan),
+                    "part_id int, path string",
+                )
                 plan: dict[int, dict] = {}
                 for r in sdf.mapInArrow(
                     make_plan_sampler(data_cols, forced_codecs=forced_codecs),
@@ -272,6 +294,7 @@ def encode_files(
                     plan.setdefault(int(r["part_id"]), {})[r["column"]] = (
                         r["codec"], r["params"], r["fsst"]
                     )
+                _mark("plan_job")
                 direct_fn = make_direct_encoder(
                     data_cols, sort_key=sort_key,
                     forced_codecs=forced_codecs, block_rows=block_rows,
@@ -286,11 +309,16 @@ def encode_files(
                 ntasks = max(1, min(
                     len(tasks), spark.sparkContext.defaultParallelism * 2
                 ))
+                # slices are byte-balanced by construction, so a plain
+                # contiguous parallelize() split stays balanced — and
+                # skips the round-robin EXCHANGE stage that
+                # .repartition(ntasks) added just to shuffle a tiny
+                # task list (~0.3 s fixed cost per job)
                 tdf = spark.createDataFrame(
-                    tasks,
+                    spark.sparkContext.parallelize(tasks, ntasks),
                     "part_id int, salt int, rg_lo int, rg_hi int, "
                     "row_lo long, row_hi long, path string",
-                ).repartition(ntasks)
+                )
                 blocks = tdf.mapInArrow(direct_fn, schema=BLOCKS_DDL)
             else:  # every file in the chunk is empty
                 blocks = spark.createDataFrame([], BLOCKS_DDL)
@@ -305,6 +333,7 @@ def encode_files(
             blocks = salted.sortWithinPartitions(
                 "part_id", "salt", sort_key
             ).mapInArrow(encode_fn, schema=BLOCKS_DDL)
+        _mark("task_build")
         tmp = os.path.join(blocks_root, f"_tmp_{chunk[0]}_{chunk[-1]}")
         final = os.path.join(blocks_root, f"chunk-{chunk[0]:05d}-{chunk[-1]:05d}")
         if os.path.exists(final):  # crashed between rename and manifest append
@@ -318,10 +347,17 @@ def encode_files(
         (blocks.write.mode("overwrite")
          .option("compression", "none")
          .option("parquet.enable.dictionary", "false")
+         # 32 MB row groups: the streaming decoder's peak memory is one
+         # row group + one logical group, so finer row groups keep
+         # decode tasks inside the warm allocator arena (default 128 MB
+         # quadruples that for zero read-side benefit — payloads are
+         # opaque blobs, no intra-row-group stats matter)
+         .option("parquet.block.size", str(32 * 1024 * 1024))
          .parquet(tmp))
         with open(os.path.join(tmp, "_PARTS"), "w") as f:
             f.write(" ".join(str(int(p)) for p in chunk))
         os.rename(tmp, final)  # atomic commit of the chunk's data
+        _mark("write_job")
         # per-part metrics from the written files' METADATA columns
         # (payload never read). Driver-side threaded pyarrow read — a
         # chunk holds O(cores) task files, so this replaces a whole
@@ -330,6 +366,7 @@ def encode_files(
         # work. Chunks beyond the file-count guard fall back to the
         # distributed aggregation.
         mdf = _chunk_metrics_rows(spark, final)
+        _mark("metrics")
         per_part: dict[int, dict] = {
             int(p): {
                 "part_id": int(p),
@@ -378,6 +415,7 @@ def encode_files(
             if not per_part[p]["columns"]
         ]
         manifest.mark_done(snapshot_id, entries + empty)
+        _mark("manifest")
         encoded_parts += len(chunk)
     return {
         "snapshot_id": snapshot_id,
@@ -780,33 +818,65 @@ def decode_blocks(
                             )
                             sel = clause if sel is None else sel | clause
                         flt = flt & sel
-                tbl = pq.read_table(
-                    path,
-                    columns=["part_id", "salt", "block_seq", "column", "payload"],
-                    filters=flt,
-                    use_threads=False,  # Spark tasks already fill cores
-                )
-                if tbl.num_rows == 0:
-                    continue
-                tbl = tbl.combine_chunks()
-                pids = tbl.column("part_id").to_numpy()
-                salts = tbl.column("salt").to_numpy()
-                keys = pids.astype(np.int64) * (1 << 20) + salts.astype(np.int64)
-                bounds = np.concatenate(
-                    [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]]
-                )
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    if s == e:
+                # STREAM row groups instead of materializing the whole
+                # block file: task peak memory = one parquet row group
+                # + one logical (part, salt) group, independent of file
+                # size — a decode task over a multi-GB block file stays
+                # inside the warm allocator arena (this host faults
+                # fresh pages at ~10 MB/s, and at 100 TB per-task
+                # memory must not scale with file size). The predicate
+                # runs as a vectorized mask over the (tiny, one row per
+                # BLOCK) metadata columns of each row group.
+                need_cols = ["part_id", "salt", "block_seq", "column",
+                             "payload"]
+                if krange is not None and "key_lo" in file_cols:
+                    need_cols += ["key_lo", "key_hi"]
+                if krange_s is not None and "key_lo_s" in file_cols:
+                    need_cols += ["key_lo_s", "key_hi_s"]
+                out_cols = ["part_id", "salt", "block_seq", "column",
+                            "payload"]
+                pf = pq.ParquetFile(path)
+
+                def _split(buf: pa.Table):
+                    pids = buf.column("part_id").to_numpy()
+                    salts = buf.column("salt").to_numpy()
+                    keys = (pids.astype(np.int64) * (1 << 20)
+                            + salts.astype(np.int64))
+                    return np.concatenate(
+                        [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1,
+                         [len(keys)]]
+                    )
+
+                pend = None  # trailing, possibly-incomplete group
+                for rg in range(pf.metadata.num_row_groups):
+                    t = pf.read_row_group(rg, columns=need_cols,
+                                          use_threads=False)
+                    t = t.filter(flt).select(out_cols)
+                    if t.num_rows == 0:
                         continue
-                    out = decode_group(tbl.slice(s, e - s), schema)
+                    buf = t if pend is None else pa.concat_tables([pend, t])
+                    bounds = _split(buf)
+                    # decode every COMPLETE group; the trailing group may
+                    # continue into the next row group, so hold it back
+                    for s, e in zip(bounds[:-2], bounds[1:-1]):
+                        out = decode_group(buf.slice(s, e - s), schema)
+                        yield from out.to_batches()
+                    pend = buf.slice(bounds[-2]).combine_chunks()
+                if pend is not None and pend.num_rows:
+                    out = decode_group(pend, schema)
                     yield from out.to_batches()
 
     # one TASK may stream several block files (the loop above): cap the
     # physical task count at ~2 per core so per-task overhead doesn't
-    # dominate when there are many small block files
+    # dominate when there are many small block files. Round-robin the
+    # file list across tasks DRIVER-side (one list per partition via
+    # parallelize) — equivalent balance to .repartition(ntasks) without
+    # its exchange stage, so the decode plan has ZERO exchanges.
     ntasks = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
-    pdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
-        ntasks
+    groups = [[(p,) for p in files[i::ntasks]] for i in range(ntasks)]
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(groups, len(groups)).flatMap(lambda g: g),
+        "path string",
     )
     result = pdf.mapInArrow(decode_stream, schema=ddl)
     # schema evolution, all-post-evolution projection: parts encoded

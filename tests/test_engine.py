@@ -143,9 +143,10 @@ def _first_schema(path):
 
 
 def test_decode_plan_is_shuffle_free(spark, tmp_path):
-    """Decode must not exchange encoded payloads: the only Exchange in
-    the plan is the round-robin of the tiny file-path list (fed by a
-    LocalTableScan), and blocks flow file->task->decoder directly."""
+    """Decode must not exchange ANYTHING: the file-path list is
+    round-robined driver-side into a pre-partitioned RDD (round 4), so
+    the physical plan has ZERO Exchange nodes — blocks flow
+    file->task->decoder directly."""
     import pyarrow.parquet as pq
 
     from libgiddy_spark.engine import decode_blocks, encode_snapshot
@@ -155,9 +156,8 @@ def test_decode_plan_is_shuffle_free(spark, tmp_path):
     encode_snapshot(spark, src, out, key_col="doc_id")
     dec = decode_blocks(spark, out, pq.read_schema(src))
     plan = dec._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
-    assert "RoundRobinPartitioning" in plan  # the path list, not block data
-    assert "[path" in plan  # the exchanged relation carries only paths
+    assert plan.count("Exchange") == 0
+    assert "[path" in plan  # the scanned relation carries only paths
     assert dec.count() == 500
 
 
