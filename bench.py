@@ -360,7 +360,7 @@ def run_scaling() -> None:
     membw = probe_membw()
     fsst_scale = probe_fsst_scaling()
     base = cap[0][1]
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     # the scaling job is the north-rule webtext encode+decode, sized so
     # compute dominates fixed per-job overhead, with slicing FIXED across
     # parallelism levels (identical work, only the core count changes)
