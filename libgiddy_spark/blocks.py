@@ -346,45 +346,68 @@ def make_plan_sampler(
     (measured ~0.3 s per training on webtext text)."""
 
     def plan_stream(batches):
-        import pyarrow.parquet as pq
-
         for batch in batches:
             for row in batch.to_pylist():
-                pf = pq.ParquetFile(row["path"])
-                if pf.metadata.num_row_groups == 0:
+                cols = plan_one_file(row["path"], columns,
+                                     forced_codecs=forced_codecs,
+                                     sample_rows=sample_rows)
+                if not cols:
                     continue
-                # stream just the first sample_rows out of row group 0
-                # instead of materializing the whole (8-128 MB) group:
-                # the plan job reads ~sample-sized bytes per part
-                first = next(pf.iter_batches(
-                    batch_size=sample_rows, row_groups=[0],
-                    columns=columns, use_threads=False,
-                ))
-                tbl = pa.Table.from_batches([first])
-                if tbl.num_rows > sample_rows:
-                    tbl = tbl.slice(0, sample_rows)
                 out = {k: [] for k in
                        ("part_id", "column", "codec", "params", "fsst")}
-                for col_name in columns:
-                    arr = _normalize(tbl.column(col_name))
-                    forced = (forced_codecs or {}).get(col_name)
-                    if forced:
-                        codec, stats, artifacts = forced, {"forced": True}, {}
-                    else:
-                        codec, stats, artifacts = select_codec(arr, col_name)
-                    ft = artifacts.get("fsst_table")
-                    if codec == "fsst" and ft is None:
-                        dense = arr.drop_null() if arr.null_count else arr
-                        ft = fsst_mod.train(strcol_of(dense).data)
+                for col_name, codec, params, ft_bytes in cols:
                     out["part_id"].append(row["part_id"])
                     out["column"].append(col_name)
                     out["codec"].append(codec)
-                    out["params"].append(json.dumps(
-                        {**stats, "stats_scope": "part-head-sample"}))
-                    out["fsst"].append(ft.serialize() if ft else None)
+                    out["params"].append(params)
+                    out["fsst"].append(ft_bytes)
                 yield pa.RecordBatch.from_pydict(out, schema=_PLAN_SCHEMA)
 
     return plan_stream
+
+
+def plan_one_file(
+    path: str,
+    columns: list[str],
+    forced_codecs: dict[str, str] | None = None,
+    sample_rows: int = 16384,
+) -> list[tuple[str, str, str, bytes | None]]:
+    """Codec plan for one data file: (column, codec, params_json,
+    serialized_fsst_table|None) per column. Shared by the plan-sampler
+    Spark job and the driver-side small-chunk fast path (a one-task
+    Spark job costs ~1 s of scheduling for a KB-sized table)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_row_groups == 0:
+        return []
+    # stream just the first sample_rows out of row group 0 instead of
+    # materializing the whole (8-128 MB) group
+    first = next(pf.iter_batches(
+        batch_size=sample_rows, row_groups=[0],
+        columns=columns, use_threads=False,
+    ))
+    tbl = pa.Table.from_batches([first])
+    if tbl.num_rows > sample_rows:
+        tbl = tbl.slice(0, sample_rows)
+    out: list[tuple[str, str, str, bytes | None]] = []
+    for col_name in columns:
+        arr = _normalize(tbl.column(col_name))
+        forced = (forced_codecs or {}).get(col_name)
+        if forced:
+            codec, stats, artifacts = forced, {"forced": True}, {}
+        else:
+            codec, stats, artifacts = select_codec(arr, col_name)
+        ft = artifacts.get("fsst_table")
+        if codec == "fsst" and ft is None:
+            dense = arr.drop_null() if arr.null_count else arr
+            ft = fsst_mod.train(strcol_of(dense).data)
+        out.append((
+            col_name, codec,
+            json.dumps({**stats, "stats_scope": "part-head-sample"}),
+            ft.serialize() if ft else None,
+        ))
+    return out
 
 
 def make_direct_encoder(

@@ -213,7 +213,13 @@ def encode_files(
         # salt fan-out from parquet footers: zero scans, zero Spark jobs
         stats = footer_byte_stats(source_path, chunk_files, list(fat_columns))
         total_b = max(sum(stats.values()), 1)
-        eff_target = min(target_salt_bytes, max(total_b // min_slices, 1))
+        # 256 KiB slice floor: a tiny table must not be confettied into
+        # min_slices near-empty tasks — per-task overhead (~0.15 s)
+        # would dwarf its encode. Explicitly smaller target_salt_bytes
+        # still wins (the min), so tests that force fine slicing keep it.
+        eff_target = min(
+            target_salt_bytes, max(total_b // min_slices, 256 << 10)
+        )
         factors = salt_factors(stats, target_bytes=eff_target)
         nslices = max(sum(factors.values()), 1)
         _mark("footer_stats")
@@ -274,26 +280,40 @@ def encode_files(
                 # codec METADATA, not row data) seeds every slice's
                 # selector cache so salt fan-out never re-trains
                 sample_tasks = sorted({(p, path) for p, _s, *_r, path in tasks})
-                # pack parts into ~1 task per core slot (plan work is
-                # near-uniform per part) and slice the list driver-side:
-                # parallelize() partitions in place, where the previous
-                # createDataFrame().repartition(n) added a round-robin
-                # EXCHANGE stage (~0.3 s fixed) to shuffle a <1 KiB list
-                nplan = max(1, min(
-                    len(sample_tasks), spark.sparkContext.defaultParallelism
-                ))
-                sdf = spark.createDataFrame(
-                    spark.sparkContext.parallelize(sample_tasks, nplan),
-                    "part_id int, path string",
-                )
                 plan: dict[int, dict] = {}
-                for r in sdf.mapInArrow(
-                    make_plan_sampler(data_cols, forced_codecs=forced_codecs),
-                    schema=PLAN_DDL,
-                ).collect():
-                    plan.setdefault(int(r["part_id"]), {})[r["column"]] = (
-                        r["codec"], r["params"], r["fsst"]
+                if len(sample_tasks) <= 2 or total_b < (32 << 20):
+                    # small chunk: plan DRIVER-side — a one-task Spark
+                    # job costs ~1 s of scheduling for a KB-sized table
+                    from .blocks import plan_one_file
+
+                    for pid, path in sample_tasks:
+                        for col, codec, params, ft in plan_one_file(
+                            path, data_cols, forced_codecs=forced_codecs
+                        ):
+                            plan.setdefault(int(pid), {})[col] = (
+                                codec, params, ft
+                            )
+                else:
+                    # pack parts into ~1 task per core slot (plan work
+                    # is near-uniform per part) and slice the list
+                    # driver-side: parallelize() partitions in place,
+                    # where createDataFrame().repartition(n) added a
+                    # round-robin EXCHANGE just to shuffle a <1 KiB list
+                    nplan = max(1, min(
+                        len(sample_tasks),
+                        spark.sparkContext.defaultParallelism,
+                    ))
+                    sdf = spark.createDataFrame(
+                        spark.sparkContext.parallelize(sample_tasks, nplan),
+                        "part_id int, path string",
                     )
+                    for r in sdf.mapInArrow(
+                        make_plan_sampler(data_cols, forced_codecs=forced_codecs),
+                        schema=PLAN_DDL,
+                    ).collect():
+                        plan.setdefault(int(r["part_id"]), {})[r["column"]] = (
+                            r["codec"], r["params"], r["fsst"]
+                        )
                 _mark("plan_job")
                 direct_fn = make_direct_encoder(
                     data_cols, sort_key=sort_key,

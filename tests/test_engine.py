@@ -101,9 +101,12 @@ def test_skew_salting_splits_heavy_partition(spark, tmp_path):
     src = str(tmp_path / "skewed.parquet")
     pq.write_table(tbl, src)
     out = str(tmp_path / "skewout")
+    # target below the engine's 256 KiB confetti floor: an explicit
+    # target_salt_bytes always wins, which is how a test (or an operator
+    # that knows better) forces fine-grained fan-out on small data
     encode_snapshot(
         spark, src, out, key_col="url", chunk_parts=2,
-        fat_columns=("text",), target_salt_bytes=1 << 20,
+        fat_columns=("text",), target_salt_bytes=16 << 10,
     )
     bdf = blocks_df(spark, out)
     salts = (
@@ -432,7 +435,7 @@ def test_null_key_group_keeps_part_zone_map(spark, tmp_path):
                              "t": pa.array(text)}), src)
     out = str(tmp_path / "mixout")
     encode_snapshot(spark, src, out, key_col="k", fat_columns=("t",),
-                    target_salt_bytes=1 << 20)
+                    target_salt_bytes=4 << 10)
     # several groups; the null lands in one of them
     salts = {e["salts"] for e in Manifest(out).read() if e.get("kind") == "part"}
     assert max(salts) > 1
