@@ -410,6 +410,41 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic corpus mixing: hash-threshold stratified sampling
+    (keep iff md5(doc_id) % 1000 < rate[lang]) — reproducible, stable
+    under appends (a kept doc stays kept), one JVM-side filter with no
+    shuffle or UDF. The production knob for language/domain mixture."""
+    from libgiddy_spark.pipeline import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang", key="doc_id",
+        rates={"en": 500, "zh": 300}, default_rate=200,
+    ).select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+
+
+def q_corpus_mix_report(spark, sf_dir):
+    """Per-stratum mixing audit: input count, kept count under the
+    stratified sampler, configured per-mille rate."""
+    from libgiddy_spark.pipeline import mix_report
+
+    return mix_report(
+        _docs(spark, sf_dir), strata_col="lang", key="doc_id",
+        rates={"en": 500, "zh": 300}, default_rate=200,
+    )
+
+
+def q_text_tfidf_top(spark, sf_dir):
+    """Integer-exact TF-IDF top-3 terms per document: score = tf x
+    floor-log2(N // df) bits, ties broken by term — the keyword-
+    extraction / topic-signal op of a text pipeline, with a broadcast
+    vocab join (no skewed shuffle) and a per-doc window (no global
+    sort)."""
+    from libgiddy_spark.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_text_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score (integer-exact perplexity
     proxy): per-doc token count, total floor-log2 bits, mean x1000."""
@@ -802,6 +837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_surprisal": q_text_surprisal,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_mix_report": q_corpus_mix_report,
+        "text_tfidf_top": q_text_tfidf_top,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
@@ -1038,6 +1076,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(text)) AS fp_exact, "
             "md5(array_to_string(list_sort(list_distinct("
             "string_split(lower(text),' '))),' ')) AS fp_bag FROM documents",
+        "corpus_sample_stratified":
+            "SELECT doc_id, lang, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "% 1000 AS bucket FROM documents "
+            "WHERE CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "% 1000 < (CASE lang WHEN 'en' THEN 500 "
+            "WHEN 'zh' THEN 300 ELSE 200 END)",
+        "corpus_mix_report":
+            "WITH b AS (SELECT doc_id, lang, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "% 1000 AS bucket FROM documents) "
+            "SELECT lang, COUNT(*) AS n_input, "
+            "CAST(SUM(CASE WHEN bucket < (CASE lang WHEN 'en' THEN 500 "
+            "WHEN 'zh' THEN 300 ELSE 200 END) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept, "
+            "CAST(CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 "
+            "ELSE 200 END AS INT) AS rate_per_mille "
+            "FROM b GROUP BY lang",
+        "text_tfidf_top":
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w FROM documents), "
+            "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks "
+            "GROUP BY 1, 2), "
+            "dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
+            "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.w AS term, tf.tf, "
+            "CAST(length(bin(nd.n_docs // dfreq.df)) - 1 AS INT) "
+            "AS idf_bits, "
+            "CAST(tf.tf * (length(bin(nd.n_docs // dfreq.df)) - 1) "
+            "AS BIGINT) AS score "
+            "FROM tf JOIN dfreq USING (w) CROSS JOIN nd), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS INT) AS rnk FROM s) "
+            "SELECT doc_id, term, tf, idf_bits, score, rnk FROM r "
+            "WHERE rnk <= 3",
         "text_surprisal":
             "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
             "FROM documents), "

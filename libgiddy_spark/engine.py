@@ -447,9 +447,182 @@ def encode_files(
 
 
 def blocks_df(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(out_dir, "blocks")
+    """LIVE block rows at HEAD, manifest-driven: after a compaction the
+    replaced dirs still exist on disk (for time travel, until vacuum),
+    so a raw recursive directory read would double-count rows."""
+    files = _committed_block_files(out_dir)
+    if not files:
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(out_dir, "blocks")
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def compact_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    target_file_bytes: int = 256 << 20,
+    min_dirs: int = 2,
+) -> dict:
+    """Iceberg-style small-file COMPACTION (rewrite_data_files): bin-pack
+    whole small chunk dirs into consolidated block files, commit a
+    manifest ``rewrite`` entry, leave the old dirs on disk for time
+    travel until :func:`vacuum_blocks`.
+
+    Streaming ingestion naturally produces one chunk dir per micro-batch
+    — thousands of KB-sized files at 100 TB — and decode task count /
+    listing cost follow file count, so compaction is the operational
+    twin of the streaming encode path. Row order inside every source
+    file is preserved and files are concatenated whole, so the
+    (part_id, salt) group-contiguity invariant the shuffle-free decoder
+    relies on survives (two chunks never share a part id: parts are
+    committed by exactly one chunk). One Spark task per output bin
+    streams source files through a parquet writer — same uncompressed,
+    dictionary-off layout as the encode sink."""
+    blocks_root = os.path.join(out_dir, "blocks")
+    m = Manifest(out_dir)
+    entries = m.read()
+    head_snapshot = None
+    for e in entries:
+        if e.get("kind") == "snapshot":
+            head_snapshot = e["snapshot_id"]
+    if head_snapshot is None:
+        return {"bins": 0, "files_before": 0, "files_after": 0}
+    live = _committed_block_files(out_dir)
+    by_dir: dict[str, list[str]] = {}
+    for f in live:
+        rel = os.path.relpath(f, blocks_root)
+        by_dir.setdefault(rel.split(os.sep)[0], []).append(f)
+    sizes = {
+        d: sum(os.path.getsize(f) for f in fs) for d, fs in by_dir.items()
+    }
+    small = sorted(d for d, sz in sizes.items() if sz < target_file_bytes)
+    # greedy bin-pack consecutive small dirs up to the target size
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for d in small:
+        if cur and acc + sizes[d] > target_file_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(d)
+        acc += sizes[d]
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) >= min_dirs]
+    if not bins:
+        return {"bins": 0, "files_before": len(live),
+                "files_after": len(live)}
+    seq = sum(1 for e in entries if e.get("kind") == "rewrite")
+    plan_rows: list[tuple[str, list[str]]] = []
+    bin_meta: list[tuple[str, str, list[str]]] = []  # (new_dir, tmp, dirs)
+    for i, bin_dirs in enumerate(bins):
+        new_dir = f"compact-{seq + i:05d}"
+        tmp = os.path.join(blocks_root, f"_tmp_{new_dir}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        src_files = [f for d in bin_dirs for f in sorted(by_dir[d])]
+        plan_rows.append((os.path.join(tmp, "bin-0.parquet"), src_files))
+        bin_meta.append((new_dir, tmp, bin_dirs))
+
+    def copy_bin(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                os.makedirs(os.path.dirname(row["dest"]), exist_ok=True)
+                # union schema across files (pre/post zone-map
+                # upgrades may differ); absent columns null-fill
+                schemas = [pq.read_schema(s) for s in row["srcs"]]
+                names: list[str] = []
+                fields = {}
+                for sch in schemas:
+                    for fld in sch:
+                        if fld.name not in fields:
+                            fields[fld.name] = fld
+                            names.append(fld.name)
+                union = pa.schema([fields[n] for n in names])
+                with pq.ParquetWriter(
+                    row["dest"], union, compression="none",
+                    use_dictionary=False,
+                ) as w:
+                    for s in row["srcs"]:
+                        pf = pq.ParquetFile(s)
+                        for rg in range(pf.metadata.num_row_groups):
+                            t = pf.read_row_group(rg, use_threads=False)
+                            cols = []
+                            for n in names:
+                                if n in t.column_names:
+                                    cols.append(t.column(n))
+                                else:
+                                    cols.append(
+                                        pa.nulls(t.num_rows,
+                                                 fields[n].type)
+                                    )
+                            # one output row group per source row group
+                            # keeps the streaming decoder's bounded
+                            # peak-memory property on compacted files
+                            w.write_table(
+                                pa.table(cols, schema=union),
+                                row_group_size=1 << 30,
+                            )
+                yield pa.RecordBatch.from_pydict(
+                    {"dest": pa.array([row["dest"]]),
+                     "n_src": pa.array([len(row["srcs"])],
+                                       pa.int64())}
+                )
+
+    tdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(d, list(s)) for d, s in plan_rows], len(plan_rows)
+        ),
+        "dest string, srcs array<string>",
     )
+    tdf.mapInArrow(copy_bin, "dest string, n_src long").collect()
+    results = []
+    for new_dir, tmp, bin_dirs in bin_meta:
+        final = os.path.join(blocks_root, new_dir)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # atomic physical commit
+        m.append_rewrite(head_snapshot, new_dir, bin_dirs)  # logical commit
+        results.append({"new_chunk": new_dir, "replaced": bin_dirs})
+    return {
+        "bins": len(bins),
+        "files_before": len(live),
+        "files_after": len(_committed_block_files(out_dir)),
+        "rewrites": results,
+    }
+
+
+def vacuum_blocks(out_dir: str) -> dict:
+    """Physically remove chunk dirs no longer LIVE at HEAD (replaced by
+    compaction rewrites) — Iceberg's expire-snapshots/delete-orphans
+    step. After vacuum, time travel to snapshots that needed the removed
+    dirs raises a clear error instead of silently losing rows. Assumes
+    the engine's single-writer model (no encode in flight)."""
+    blocks_root = os.path.join(out_dir, "blocks")
+    if not os.path.isdir(blocks_root):
+        return {"removed": []}
+    live_dirs = set()
+    for f in _committed_block_files(out_dir):
+        live_dirs.add(os.path.relpath(f, blocks_root).split(os.sep)[0])
+    removed = []
+    m = Manifest(out_dir)
+    replaced: set[str] = set()
+    for e in m.read():
+        if e.get("kind") == "rewrite":
+            replaced.update(e.get("replaces", ()))
+    for d in sorted(replaced):
+        if d in live_dirs:
+            continue  # re-used dir name still live (shouldn't happen)
+        full = os.path.join(blocks_root, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            removed.append(d)
+    if removed:
+        m.append([{"kind": "vacuum", "removed": removed,
+                   "ts": time.time()}])
+    return {"removed": removed}
 
 
 def _committed_block_files(
@@ -511,6 +684,7 @@ def _committed_block_files(
         return True
 
     chunk_parts: dict[str, set[int]] = {}
+    rewrites: list[dict] = []
     for e in entries:
         kind = e.get("kind")
         if kind == "chunk" and e.get("chunk_dir"):
@@ -521,14 +695,34 @@ def _committed_block_files(
         elif kind == "part" and e.get("status") == "done" and e.get("chunk_dir"):
             if _in_range(e):
                 chunk_parts.setdefault(e["chunk_dir"], set()).add(int(e["part_id"]))
+        elif kind == "rewrite":
+            if accepted is None or e.get("snapshot_id") in accepted:
+                rewrites.append(e)
+    # COMPACTION rewrites, in commit order: the new chunk dir serves the
+    # union of its replaced dirs' parts. A rewrite whose replaced dirs
+    # were ALL pruned (key range / part filter) stays pruned — the new
+    # file holds exactly their rows.
+    for rw in rewrites:
+        moved: set[int] = set()
+        for d in rw.get("replaces", ()):
+            moved |= chunk_parts.pop(d, set())
+        if moved:
+            chunk_parts.setdefault(rw["new_chunk"], set()).update(moved)
     wanted = {int(p) for p in part_ids} if part_ids is not None else None
     files: list[str] = []
     for d, parts in sorted(chunk_parts.items()):
         if wanted is not None and not (parts & wanted):
             continue
         full = os.path.join(blocks_root, d)
-        if not os.path.isdir(full):  # chunk pruned by a later resume sweep
-            continue
+        if not os.path.isdir(full):
+            if as_of is not None:
+                # time travel must fail loudly when its snapshot's files
+                # were vacuumed — silence here would be silent row loss
+                raise ValueError(
+                    f"time travel to {as_of!r} needs chunk dir {d!r}, "
+                    "which was removed (vacuumed/expired)"
+                )
+            continue  # chunk pruned by a later resume sweep
         for root, dirs, fs in os.walk(full):
             dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             for f in fs:

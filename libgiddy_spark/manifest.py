@@ -190,6 +190,31 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
 
+    def append_rewrite(
+        self, snapshot_id: str, new_chunk: str, replaces: list[str]
+    ) -> None:
+        """Record a COMPACTION rewrite: ``new_chunk`` physically replaces
+        the block files of ``replaces`` (same rows, fewer files). The
+        entry is appended to the manifest AND the chunk index; readers
+        apply rewrites in order, so time travel to a snapshot before
+        ``snapshot_id`` still lists the original dirs (until vacuum
+        physically removes them — the Iceberg rewrite/expire split)."""
+        entry = {
+            "kind": "rewrite",
+            "snapshot_id": snapshot_id,
+            "new_chunk": new_chunk,
+            "replaces": sorted(replaces),
+            "ts": time.time(),
+        }
+        self.append([entry])
+        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        line = json.dumps({**entry, "mend": mend},
+                          separators=(",", ":"), sort_keys=True)
+        with open(self.index_path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
     def read_index(self) -> tuple[list[dict], int] | None:
         """(index entries, covered manifest bytes) or None when the
         index file doesn't exist (pre-upgrade manifests). ``covered``

@@ -40,6 +40,7 @@ from .similarity import (  # noqa: F401
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
+from .sampling import mix_report, stratified_sample  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .sketch import (  # noqa: F401
     cms_point_estimate,
@@ -51,6 +52,7 @@ from .text import (  # noqa: F401
     fingerprints,
     lang_id,
     quality_score,
+    tfidf_top_terms,
     token_stats,
     unigram_surprisal,
 )

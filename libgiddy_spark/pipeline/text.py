@@ -72,6 +72,48 @@ def unigram_surprisal(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, key: str = "doc_id", text: str = "text", k: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Integer-exact TF-IDF: per doc, the top-``k`` terms by
+    tf * idf_bits where idf_bits = floor(log2(N // df)) (same
+    binary-string floor-log2 as :func:`unigram_surprisal` — identical
+    in Spark ``conv`` and DuckDB ``bin``). Ties break by term asc, so
+    the ranking is fully deterministic and oracle-checkable.
+
+    Scale shape: one explode, one (doc, term) count, one term-level
+    count; the term->df join broadcasts the vocab (Heaps' law — see
+    unigram_surprisal) and the top-k is a per-doc window, never a
+    global sort."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(key), F.explode(_words(F.col(text))).alias("w"))
+    tf = toks.groupBy(key, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    ndiv = idiv(F.col("n_docs"), F.col("df"))
+    idf_bits = (F.length(F.conv(ndiv.cast("string"), 10, 2)) - F.lit(1))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(key), F.col("w").alias("term"), "tf",
+            idf_bits.cast("int").alias("idf_bits"),
+            (F.col("tf") * idf_bits).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 # BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols
 # (ASCII classes mean the same thing to Java regex and RE2 — exact oracle)
 BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"

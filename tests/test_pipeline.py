@@ -501,3 +501,40 @@ def test_unigram_surprisal_broadcasts_vocab(spark):
     slow = unigram_surprisal(df, broadcast_vocab=False)
     k = lambda rows: sorted(tuple(r) for r in rows)
     assert k(out.collect()) == k(slow.collect())
+
+
+def test_stratified_sample_stable_under_append(spark):
+    """Hash-threshold sampling: a kept doc stays kept when the corpus
+    grows (reproducible mixtures, no RNG state), and per-stratum rates
+    apply."""
+    from libgiddy_spark.pipeline import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {r["doc_id"] for r in stratified_sample(
+        df, rates={"en": 500}, default_rate=200).collect()}
+    grown = spark.createDataFrame(
+        rows + [(i, "fr") for i in range(300, 400)],
+        "doc_id long, lang string")
+    kept2 = {r["doc_id"] for r in stratified_sample(
+        grown, rates={"en": 500}, default_rate=200).collect()}
+    assert kept1 == {d for d in kept2 if d < 300}
+    # en kept at ~2.5x the default rate
+    en = sum(1 for d in kept1 if d % 3 == 0)
+    de = len(kept1) - en
+    assert en > de
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from libgiddy_spark.pipeline import tfidf_top_terms
+
+    docs = [(0, "common common common rareword"),
+            (1, "common common filler filler"),
+            (2, "common filler other other"),
+            (3, "common filler2 other stuff")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = {(r["doc_id"], r["rnk"]): r["term"]
+           for r in tfidf_top_terms(df, k=2).collect()}
+    # "common" appears in every doc -> idf_bits = 0 -> score 0;
+    # doc 0's rare term must rank first
+    assert top[(0, 1)] == "rareword"
