@@ -1061,13 +1061,26 @@ def decode_blocks(
                          [len(keys)]]
                     )
 
+                meta_cols = [c for c in need_cols if c != "payload"]
                 pend = None  # trailing, possibly-incomplete group
                 for rg in range(pf.metadata.num_row_groups):
+                    # metadata-first: evaluate the whole predicate on
+                    # the tiny non-payload columns (one row per BLOCK),
+                    # and only read the rg's payload bytes if any block
+                    # survives — a pruned or projected decode skips
+                    # entire row groups' payload I/O, not just rows
+                    meta = pf.read_row_group(rg, columns=meta_cols,
+                                             use_threads=False)
+                    keep_idx = meta.append_column(
+                        "_i", pa.array(range(meta.num_rows), pa.int64())
+                    ).filter(flt).column("_i").to_pylist()
+                    if not keep_idx:
+                        continue
                     t = pf.read_row_group(rg, columns=need_cols,
                                           use_threads=False)
-                    t = t.filter(flt).select(out_cols)
-                    if t.num_rows == 0:
-                        continue
+                    if len(keep_idx) < meta.num_rows:
+                        t = t.take(pa.array(keep_idx, pa.int64()))
+                    t = t.select(out_cols)
                     buf = t if pend is None else pa.concat_tables([pend, t])
                     bounds = _split(buf)
                     # decode every COMPLETE group; the trailing group may

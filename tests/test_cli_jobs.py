@@ -1,0 +1,83 @@
+"""End-to-end CLI smoke tests for all five spark-submit entry points —
+the round-3 ADVICE bugs (untyped probes, unreachable string ranges)
+all lived in untested CLI arg-handling, so every job's main() runs here
+against real data via monkeypatched argv."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(monkeypatch, module, argv: list[str]) -> None:
+    monkeypatch.setattr(sys, "argv", ["job.py", *argv])
+    module.main()
+
+
+def _last_json(capsys) -> dict:
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_encode_then_decode_then_maintain_cli(spark, tmp_path, monkeypatch,
+                                              capsys):
+    from libgiddy_spark.jobs import decode_job, encode_job, maintain_job
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(
+        4).write.parquet(src)
+    out = str(tmp_path / "enc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id",
+          "--chunk-parts", "1", "--exchange", "direct"])
+    rep = _last_json(capsys)
+    assert rep["encoded_parts"] == 4
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--verify"])
+    rep = _last_json(capsys)
+    assert rep["ok"] and rep["rows_decoded"] == 500
+    # int point lookup through the CLI (typed probe)
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--key-point", "42", "--verify"])
+    rep = _last_json(capsys)
+    assert rep["ok"] and rep["rows_decoded"] == 1
+    # compact + vacuum through the CLI
+    _run(monkeypatch, maintain_job,
+         ["--encoded", out, "--compact", "--target-file-mb", "64",
+          "--vacuum"])
+    rep = _last_json(capsys)
+    assert rep["compact"]["bins"] >= 1 and rep["vacuum"]["removed"]
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--verify"])
+    assert _last_json(capsys)["ok"]
+
+
+def test_stream_job_cli(spark, tmp_path, monkeypatch, capsys):
+    from libgiddy_spark.jobs import stream_job
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", os.path.join(src, "events.parquet"))
+    out = str(tmp_path / "senc")
+    _run(monkeypatch, stream_job,
+         ["--source", src, "--out", out, "--key-col", "event_id",
+          "--checkpoint", str(tmp_path / "ckpt")])
+    assert _last_json(capsys)["done_parts"] == 1
+
+
+def test_pipeline_job_cli(spark, tmp_path, monkeypatch, capsys):
+    from libgiddy_spark.jobs import pipeline_job
+
+    out = str(tmp_path / "pout")
+    _run(monkeypatch, pipeline_job,
+         ["--op", "text_stats", "--source", f"{SF}/documents.parquet",
+          "--out", out])
+    assert os.path.isdir(out)
