@@ -619,6 +619,21 @@ def vacuum_blocks(out_dir: str) -> dict:
         if os.path.isdir(full):
             shutil.rmtree(full)
             removed.append(d)
+    # delete files already MATERIALIZED by a purge serve only time
+    # travel — expire them with the dirs, same Iceberg-expire contract
+    cleared: set[str] = set()
+    for e in m.read():
+        if e.get("kind") == "delete_clear":
+            cleared.update(e.get("files", ()))
+    for rel in sorted(cleared):
+        full = os.path.join(out_dir, rel)
+        if os.path.isfile(full):
+            os.remove(full)
+            removed.append(rel)
+    purge_src = os.path.join(out_dir, "_purge_src")
+    if os.path.isdir(purge_src):
+        shutil.rmtree(purge_src)
+        removed.append("_purge_src")
     if removed:
         m.append([{"kind": "vacuum", "removed": removed,
                    "ts": time.time()}])
@@ -706,8 +721,10 @@ def _committed_block_files(
         moved: set[int] = set()
         for d in rw.get("replaces", ()):
             moved |= chunk_parts.pop(d, set())
-        if moved:
+        if moved and rw.get("new_chunk"):
             chunk_parts.setdefault(rw["new_chunk"], set()).update(moved)
+        # new_chunk=None: RETIRE — the purge's replacement chunks were
+        # committed with their own part entries, nothing to remap
     wanted = {int(p) for p in part_ids} if part_ids is not None else None
     files: list[str] = []
     for d, parts in sorted(chunk_parts.items()):
@@ -820,6 +837,129 @@ def _chunk_metrics_rows(spark: SparkSession, final: str) -> list[dict]:
     return out
 
 
+def delete_rows(out_dir: str, key_col: str, keys: list) -> dict:
+    """EQUALITY DELETE (Iceberg merge-on-read): write a delete file of
+    key values and commit a manifest ``delete`` entry — no data file is
+    touched. Every subsequent :func:`decode_blocks` anti-joins the
+    tombstoned keys out at read time; time travel to snapshots BEFORE
+    the delete still sees the rows. Semantics are global tombstones
+    (the GDPR-purge shape: all occurrences of the key, including any
+    later re-ingest, until a physical rewrite clears them) — simpler
+    than Iceberg's sequence-number scoping and strictly conservative.
+
+    Driver-side by design: delete batches are key lists (bounded
+    metadata), not row data. At 100 TB the delete FILES stay small
+    while the anti-join distributes with the decode."""
+    import pyarrow.parquet as pq
+
+    import hashlib
+
+    m = Manifest(out_dir)
+    if not any(e.get("kind") == "snapshot" for e in m.read()):
+        raise ValueError(f"no snapshots in {out_dir}: nothing to delete from")
+    ddir = os.path.join(out_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    seq = sum(1 for e in m.read() if e.get("kind") == "delete")
+    rel = os.path.join("deletes", f"delete-{seq:05d}.parquet")
+    tmp = os.path.join(out_dir, rel + ".tmp")
+    tbl = pa.table({key_col: pa.array(keys)})
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(out_dir, rel))
+    # a delete is its OWN snapshot (Iceberg: every delete commit makes a
+    # new snapshot): time travel to any earlier snapshot must not see it
+    with open(os.path.join(out_dir, rel), "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    snap_id = f"snap-delete-{seq:05d}-{digest}"
+    m.write_snapshot_header(snap_id, out_dir, [], 0)
+    m.append_delete(snap_id, rel, key_col, len(keys))
+    return {"file": rel, "key_col": key_col, "n": len(keys),
+            "snapshot_id": snap_id}
+
+
+def _accepted_deletes(
+    out_dir: str, as_of: str | None = None
+) -> list[tuple[str, str]]:
+    """(abs delete file, key_col) for delete entries visible at
+    ``as_of`` (or HEAD), via the chunk index + manifest tail."""
+    m = Manifest(out_dir)
+    idx = m.read_index()
+    if idx is not None:
+        entries = idx[0] + m.read_tail(idx[1])
+    else:
+        entries = m.read()
+    accepted: set[str] | None = None
+    if as_of is not None:
+        accepted = set()
+        for e in entries:
+            if e.get("kind") == "snapshot":
+                accepted.add(e["snapshot_id"])
+                if e["snapshot_id"] == as_of:
+                    break
+    cleared: set[str] = set()
+    for e in entries:
+        if e.get("kind") != "delete_clear":
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue  # time travel before the purge: deletes still apply
+        cleared.update(e.get("files", ()))
+    out = []
+    for e in entries:
+        if e.get("kind") != "delete":
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue
+        if e["file"] in cleared:
+            continue  # materialized by a purge rewrite
+        out.append((os.path.join(out_dir, e["file"]), e["key_col"]))
+    return out
+
+
+def purge_deletes(
+    spark: SparkSession, out_dir: str, schema: pa.Schema, key_col: str,
+) -> dict:
+    """MATERIALIZE equality deletes (the GDPR-purge / Iceberg
+    rewrite-with-delete-compaction step): decode the live table minus
+    tombstones, re-encode it as a fresh snapshot, RETIRE every previous
+    chunk dir via a rewrite entry, and mark the delete files cleared.
+    Afterwards reads pay no anti-join; time travel before the purge
+    still sees the original rows + applies the original deletes (until
+    :func:`vacuum_blocks` removes the retired dirs). ``schema`` must be
+    the FULL table schema — a purge rewrites every column."""
+    deletes = _accepted_deletes(out_dir)
+    if not deletes:
+        return {"purged_files": 0, "rewritten": False}
+    m = Manifest(out_dir)
+    blocks_root = os.path.join(out_dir, "blocks")
+    old_dirs = sorted(
+        {
+            os.path.relpath(f, blocks_root).split(os.sep)[0]
+            for f in _committed_block_files(out_dir)
+        }
+    )
+    dec = decode_blocks(spark, out_dir, schema).drop("part_id")
+    src = os.path.join(out_dir, "_purge_src")
+    shutil.rmtree(src, ignore_errors=True)
+    (dec.write.mode("overwrite")
+     .option("parquet.block.size", 8 * 1024 * 1024)
+     .parquet(src))
+    summary = encode_files(
+        spark, src, list_parquet_files(src), out_dir, key_col
+    )
+    # logical commit: retire every pre-purge dir, clear the deletes
+    m.append_rewrite(summary["snapshot_id"], None, old_dirs)
+    m.append_delete_clear(
+        summary["snapshot_id"],
+        [os.path.relpath(f, out_dir) for f, _k in deletes],
+    )
+    return {
+        "purged_files": len(deletes),
+        "rewritten": True,
+        "snapshot_id": summary["snapshot_id"],
+        "retired_dirs": old_dirs,
+        "encoded_parts": summary["encoded_parts"],
+    }
+
+
 def _evolution_null_parts(
     out_dir: str,
     wanted_cols: set[str],
@@ -843,9 +983,23 @@ def _evolution_null_parts(
                 if e["snapshot_id"] == as_of:
                     break
     wanted_p = {int(p) for p in part_ids} if part_ids is not None else None
+    # parts whose chunk dir was RETIRED (purge rewrite, new_chunk=None)
+    # are dead — their rows live under the purge's own new parts, so
+    # emitting evolution nulls for them would duplicate rows. A normal
+    # compaction rewrite keeps its parts live (rows moved, not replaced).
+    retired: set[str] = set()
+    for e in entries:
+        if (
+            e.get("kind") == "rewrite"
+            and not e.get("new_chunk")
+            and (accepted is None or e.get("snapshot_id") in accepted)
+        ):
+            retired.update(e.get("replaces", ()))
     out: list[tuple[int, int]] = []
     for e in entries:
         if e.get("kind") != "part" or e.get("status") != "done":
+            continue
+        if e.get("chunk_dir") in retired:
             continue
         pid = int(e["part_id"])
         if wanted_p is not None and pid not in wanted_p:
@@ -1120,6 +1274,20 @@ def decode_blocks(
             F.lit(pid).cast("int").alias("part_id"),
         )
         result = result.unionByName(nulls)
+    # EQUALITY DELETES (merge-on-read): anti-join tombstoned keys out.
+    # Delete files are bounded key lists -> broadcast anti-join, no
+    # shuffle of decoded rows. Time travel to a snapshot before the
+    # delete never sees its entry (_accepted_deletes filters by as_of).
+    deletes = _accepted_deletes(out_dir, as_of)
+    for dfile, dkey in deletes:
+        if dkey not in result.columns:
+            raise ValueError(
+                f"equality-delete file {dfile!r} tombstones on column "
+                f"{dkey!r}, which the projection excludes — include it "
+                "so merge-on-read can apply (or purge deletes first)"
+            )
+        tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
+        result = result.join(F.broadcast(tomb), dkey, "left_anti")
     return result
 
 

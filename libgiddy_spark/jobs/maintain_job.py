@@ -24,11 +24,62 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=256)
     ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--delete-keys", default=None, metavar="K1,K2,...",
+                    help="equality delete (merge-on-read): tombstone "
+                         "these key values; requires --key-col")
+    ap.add_argument("--key-col", default=None)
+    ap.add_argument("--purge", action="store_true",
+                    help="materialize pending deletes: full rewrite "
+                         "minus tombstones; requires --source for the "
+                         "table schema and --key-col")
+    ap.add_argument("--source", default=None,
+                    help="source snapshot (schema for --purge)")
     args = ap.parse_args()
-    if not (args.compact or args.vacuum):
-        ap.error("nothing to do: pass --compact and/or --vacuum")
+    if not (args.compact or args.vacuum or args.delete_keys or args.purge):
+        ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/--purge")
 
     out: dict = {}
+    if args.delete_keys:
+        import pyarrow.parquet as pq
+
+        from libgiddy_spark.engine import delete_rows
+
+        if not args.key_col:
+            ap.error("--delete-keys requires --key-col")
+        ktype = None
+        if args.source:
+            import pyarrow as pa
+
+            from libgiddy_spark.table_io import list_parquet_files
+
+            first = list_parquet_files(args.source)[0][0]
+            import os as _os
+
+            p = (args.source if _os.path.isfile(args.source)
+                 else _os.path.join(args.source, first))
+            ktype = pq.read_schema(p).field(args.key_col).type
+        raw = args.delete_keys.split(",")
+        keys = [int(k) for k in raw] if (
+            ktype is not None and str(ktype).startswith("int")
+        ) or (ktype is None and all(k.lstrip("-").isdigit() for k in raw))             else raw
+        out["delete"] = delete_rows(args.encoded, args.key_col, keys)
+    if args.purge:
+        import pyarrow.parquet as pq
+
+        from libgiddy_spark.engine import purge_deletes
+        from libgiddy_spark.jobs.encode_job import build_spark
+        from libgiddy_spark.table_io import list_parquet_files
+
+        if not (args.source and args.key_col):
+            ap.error("--purge requires --source and --key-col")
+        import os as _os
+
+        first = list_parquet_files(args.source)[0][0]
+        p = (args.source if _os.path.isfile(args.source)
+             else _os.path.join(args.source, first))
+        spark = build_spark("libgiddy-spark-maintain")
+        out["purge"] = purge_deletes(
+            spark, args.encoded, pq.read_schema(p), key_col=args.key_col)
     if args.compact:
         from libgiddy_spark.engine import compact_blocks
         from libgiddy_spark.jobs.encode_job import build_spark

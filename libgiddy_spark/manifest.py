@@ -191,19 +191,68 @@ class Manifest:
             os.fsync(f.fileno())
 
     def append_rewrite(
-        self, snapshot_id: str, new_chunk: str, replaces: list[str]
+        self, snapshot_id: str, new_chunk: str | None, replaces: list[str]
     ) -> None:
         """Record a COMPACTION rewrite: ``new_chunk`` physically replaces
         the block files of ``replaces`` (same rows, fewer files). The
         entry is appended to the manifest AND the chunk index; readers
         apply rewrites in order, so time travel to a snapshot before
         ``snapshot_id`` still lists the original dirs (until vacuum
-        physically removes them — the Iceberg rewrite/expire split)."""
+        physically removes them — the Iceberg rewrite/expire split).
+        ``new_chunk=None`` RETIRES the replaced dirs outright (used by
+        purge, whose replacement chunks carry their own part entries)."""
         entry = {
             "kind": "rewrite",
             "snapshot_id": snapshot_id,
             "new_chunk": new_chunk,
             "replaces": sorted(replaces),
+            "ts": time.time(),
+        }
+        self.append([entry])
+        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        line = json.dumps({**entry, "mend": mend},
+                          separators=(",", ":"), sort_keys=True)
+        with open(self.index_path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def append_delete(
+        self, snapshot_id: str, rel_file: str, key_col: str, n: int
+    ) -> None:
+        """Record an EQUALITY-DELETE file (Iceberg merge-on-read):
+        ``rel_file`` (under out_dir) holds the deleted key values;
+        decode anti-joins them at read time. Appended to manifest AND
+        index so the O(chunks) listing path sees deletes too."""
+        entry = {
+            "kind": "delete",
+            "snapshot_id": snapshot_id,
+            "file": rel_file,
+            "key_col": key_col,
+            "n": int(n),
+            "ts": time.time(),
+        }
+        self.append([entry])
+        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        line = json.dumps({**entry, "mend": mend},
+                          separators=(",", ":"), sort_keys=True)
+        with open(self.index_path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def append_delete_clear(
+        self, snapshot_id: str, files: list[str]
+    ) -> None:
+        """Record that a purge rewrite MATERIALIZED these delete files:
+        reads at/after ``snapshot_id`` skip them (the rows are gone from
+        the data); time travel before it still applies them. Written to
+        manifest AND index (index-only readers must see clears, or a
+        vacuumed delete file would fail their reads)."""
+        entry = {
+            "kind": "delete_clear",
+            "snapshot_id": snapshot_id,
+            "files": sorted(files),
             "ts": time.time(),
         }
         self.append([entry])

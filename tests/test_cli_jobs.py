@@ -81,3 +81,31 @@ def test_pipeline_job_cli(spark, tmp_path, monkeypatch, capsys):
          ["--op", "text_stats", "--source", f"{SF}/documents.parquet",
           "--out", out])
     assert os.path.isdir(out)
+
+
+def test_delete_purge_cli(spark, tmp_path, monkeypatch, capsys):
+    from libgiddy_spark.jobs import decode_job, encode_job, maintain_job
+
+    src = str(tmp_path / "dsrc")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(
+        2).write.parquet(src)
+    out = str(tmp_path / "denc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id"])
+    capsys.readouterr()
+    _run(monkeypatch, maintain_job,
+         ["--encoded", out, "--delete-keys", "3,9,27", "--key-col",
+          "doc_id", "--source", src])
+    rep = _last_json(capsys)
+    assert rep["delete"]["n"] == 3
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id"])
+    assert _last_json(capsys)["rows_decoded"] == 497
+    _run(monkeypatch, maintain_job,
+         ["--encoded", out, "--purge", "--key-col", "doc_id",
+          "--source", src, "--vacuum"])
+    rep = _last_json(capsys)
+    assert rep["purge"]["rewritten"] and rep["vacuum"]["removed"]
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id"])
+    assert _last_json(capsys)["rows_decoded"] == 497
