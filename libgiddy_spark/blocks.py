@@ -382,11 +382,14 @@ def plan_one_file(
     if pf.metadata.num_row_groups == 0:
         return []
     # stream just the first sample_rows out of row group 0 instead of
-    # materializing the whole (8-128 MB) group
-    first = next(pf.iter_batches(
+    # materializing the whole (8-128 MB) group. A zero-row first group
+    # yields no batches (None) -> no plan, same as an empty file.
+    first = next(iter(pf.iter_batches(
         batch_size=sample_rows, row_groups=[0],
         columns=columns, use_threads=False,
-    ))
+    )), None)
+    if first is None:
+        return []
     tbl = pa.Table.from_batches([first])
     if tbl.num_rows > sample_rows:
         tbl = tbl.slice(0, sample_rows)

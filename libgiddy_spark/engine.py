@@ -89,6 +89,7 @@ def encode_files(
     columns: list[str] | None = None,
     min_slices: int | None = None,
     exchange: str = "range",
+    commit_status: str = "done",
     **_compat,
 ) -> dict:
     """Resumable chunked encode of the given (relpath, bytes) data
@@ -434,7 +435,8 @@ def encode_files(
             for p in per_part
             if not per_part[p]["columns"]
         ]
-        manifest.mark_done(snapshot_id, entries + empty)
+        manifest.mark_done(snapshot_id, entries + empty,
+                           status=commit_status)
         _mark("manifest")
         encoded_parts += len(chunk)
     return {
@@ -942,14 +944,39 @@ def purge_deletes(
     (dec.write.mode("overwrite")
      .option("parquet.block.size", 8 * 1024 * 1024)
      .parquet(src))
+    # STAGED encode: part lines commit with status=staged — invisible
+    # to listing/resume, dirs swept if we crash here — then ONE txn
+    # line flips everything at once (promote to done + retire old dirs
+    # + clear deletes). No reader can ever see old and new rows
+    # together, and a crash at any point leaves a consistent table
+    # (before the txn: pre-purge state; after: purged state).
     summary = encode_files(
-        spark, src, list_parquet_files(src), out_dir, key_col
+        spark, src, list_parquet_files(src), out_dir, key_col,
+        commit_status="staged",
     )
-    # logical commit: retire every pre-purge dir, clear the deletes
-    m.append_rewrite(summary["snapshot_id"], None, old_dirs)
-    m.append_delete_clear(
-        summary["snapshot_id"],
-        [os.path.relpath(f, out_dir) for f, _k in deletes],
+    staged = [
+        e for e in m.read()
+        if e.get("kind") == "part" and e.get("status") == "staged"
+        and e.get("snapshot_id") == summary["snapshot_id"]
+    ]
+    promoted = [{**e, "status": "done"} for e in staged]
+    m.commit_txn(
+        promoted
+        + [{
+            "kind": "rewrite",
+            "snapshot_id": summary["snapshot_id"],
+            "new_chunk": None,
+            "replaces": sorted(old_dirs),
+            "ts": time.time(),
+        }]
+        + [{
+            "kind": "delete_clear",
+            "snapshot_id": summary["snapshot_id"],
+            "files": sorted(
+                os.path.relpath(f, out_dir) for f, _k in deletes
+            ),
+            "ts": time.time(),
+        }]
     )
     return {
         "purged_files": len(deletes),
@@ -972,8 +999,25 @@ def _evolution_null_parts(
     matching ``column`` rows, so the scan-side projection filter would
     silently drop them; the manifest's per-column ``n_values`` carries
     the row count so decode can emit the all-null rows instead (Iceberg
-    add-column read semantics, no row loss)."""
-    entries = Manifest(out_dir).read()
+    add-column read semantics, no row loss).
+
+    Runs off the CHUNK INDEX when available — chunk lines carry the
+    column union + per-part row counts — so the per-decode driver cost
+    stays O(chunks) like the listing; only pre-index manifests (or
+    chunk lines predating the columns field) pay the full O(parts)
+    read."""
+    m = Manifest(out_dir)
+    idx = m.read_index()
+    entries: list[dict]
+    if idx is not None:
+        index_entries, covered = idx
+        chunk_lines = [e for e in index_entries if e.get("kind") == "chunk"]
+        if all("columns" in e for e in chunk_lines):
+            entries = index_entries + m.read_tail(covered)
+        else:  # pre-upgrade chunk lines: full read for correctness
+            entries = m.read()
+    else:
+        entries = m.read()
     accepted: set[str] | None = None
     if as_of is not None:
         accepted = set()
@@ -996,10 +1040,29 @@ def _evolution_null_parts(
         ):
             retired.update(e.get("replaces", ()))
     out: list[tuple[int, int]] = []
+    seen_chunks: set[str] = set()
     for e in entries:
-        if e.get("kind") != "part" or e.get("status") != "done":
+        kind = e.get("kind")
+        if kind == "chunk":
+            cdir = e.get("chunk_dir")
+            if cdir in retired or cdir in seen_chunks:
+                continue
+            seen_chunks.add(cdir)
+            if accepted is not None and e.get("snapshot_id") not in accepted:
+                continue
+            cols = e.get("columns") or ()
+            if not cols or set(cols) & wanted_cols:
+                continue  # normal decode path covers these parts
+            for pid_s, n in (e.get("part_rows") or {}).items():
+                pid = int(pid_s)
+                if wanted_p is not None and pid not in wanted_p:
+                    continue
+                if n:
+                    out.append((pid, int(n)))
             continue
-        if e.get("chunk_dir") in retired:
+        if kind != "part" or e.get("status") != "done":
+            continue
+        if e.get("chunk_dir") in retired or e.get("chunk_dir") in seen_chunks:
             continue
         pid = int(e["part_id"])
         if wanted_p is not None and pid not in wanted_p:
@@ -1088,8 +1151,33 @@ def decode_blocks(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )
     ddl = out_fields + ", part_id int"
+    wanted_cols_set = {f.name for f in schema}
     if not files:
-        return spark.createDataFrame([], ddl)
+        # even a fully-pruned listing must still honor schema evolution:
+        # pre-evolution parts whose columns the projection excludes have
+        # no block rows anywhere, yet their null rows are part of the
+        # result (same union as the main path below)
+        result = spark.createDataFrame([], ddl)
+        for pid, n in _evolution_null_parts(
+            out_dir, wanted_cols_set, part_ids, as_of
+        ):
+            nulls = spark.range(n).select(
+                *[
+                    F.lit(None).cast(_spark_type_of(f.type)).alias(f.name)
+                    for f in schema
+                ],
+                F.lit(pid).cast("int").alias("part_id"),
+            )
+            result = result.unionByName(nulls)
+        for dfile, dkey in _accepted_deletes(out_dir, as_of):
+            if dkey not in result.columns:
+                raise ValueError(
+                    f"equality-delete file {dfile!r} tombstones on "
+                    f"column {dkey!r}, which the projection excludes"
+                )
+            tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
+            result = result.join(F.broadcast(tomb), dkey, "left_anti")
+        return result
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
     krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
     krange_s = (str(key_range_s[0]), str(key_range_s[1])) if key_range_s is not None else None

@@ -40,28 +40,40 @@ def main() -> None:
 
     out: dict = {}
     if args.delete_keys:
+        import os as _os
+
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from libgiddy_spark.engine import delete_rows
+        from libgiddy_spark.table_io import list_parquet_files
 
-        if not args.key_col:
-            ap.error("--delete-keys requires --key-col")
-        ktype = None
-        if args.source:
-            import pyarrow as pa
-
-            from libgiddy_spark.table_io import list_parquet_files
-
-            first = list_parquet_files(args.source)[0][0]
-            import os as _os
-
-            p = (args.source if _os.path.isfile(args.source)
-                 else _os.path.join(args.source, first))
-            ktype = pq.read_schema(p).field(args.key_col).type
+        if not (args.key_col and args.source):
+            # the tombstone VALUES must be typed from the key column's
+            # schema, never guessed from how the text parses ('0123'
+            # against a string key must stay the literal string; an
+            # int would over-delete '123' through join coercion)
+            ap.error("--delete-keys requires --key-col and --source "
+                     "(key typing follows the column's schema)")
+        first = list_parquet_files(args.source)[0][0]
+        p = (args.source if _os.path.isfile(args.source)
+             else _os.path.join(args.source, first))
+        ktype = pq.read_schema(p).field(args.key_col).type
         raw = args.delete_keys.split(",")
-        keys = [int(k) for k in raw] if (
-            ktype is not None and str(ktype).startswith("int")
-        ) or (ktype is None and all(k.lstrip("-").isdigit() for k in raw))             else raw
+        if pa.types.is_timestamp(ktype):
+            # int64 micros on the CLI, written as typed timestamps so
+            # the decode-side anti-join compares timestamp-to-timestamp
+            import datetime as _dt
+
+            keys = [
+                _dt.datetime.fromtimestamp(int(k) / 1e6, _dt.timezone.utc)
+                .replace(tzinfo=None)
+                for k in raw
+            ]
+        elif pa.types.is_integer(ktype):
+            keys = [int(k) for k in raw]
+        else:
+            keys = raw
         out["delete"] = delete_rows(args.encoded, args.key_col, keys)
     if args.purge:
         import pyarrow.parquet as pq

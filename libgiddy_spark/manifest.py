@@ -43,12 +43,18 @@ class Manifest:
                 if not line:
                     continue
                 try:
-                    entries.append(json.loads(line))
+                    e = json.loads(line)
                 except json.JSONDecodeError:
                     # torn tail line from a crash mid-append: ignore —
                     # its chunk never renamed its temp dir, so no data
                     # is orphaned by skipping it
                     continue
+                # a txn line is an ATOMIC batch (purge promote+retire):
+                # expand in place, order preserved
+                if e.get("kind") == "txn":
+                    entries.extend(e.get("entries", ()))
+                else:
+                    entries.append(e)
         return entries
 
     def done_parts(self, snapshot_id: str | None = None) -> set[int]:
@@ -109,6 +115,7 @@ class Manifest:
     ) -> None:
         if self.header(snapshot_id) is not None:
             return
+        pre = self._msize()
         self.append(
             [
                 {
@@ -121,42 +128,63 @@ class Manifest:
                 }
             ]
         )
+        post = self._msize()
+        self._heal_index(pre)
         # slim copy in the chunk index (no files list): time travel's
         # snapshot ORDER must be recoverable from the index alone, even
         # for snapshots that committed zero chunks
-        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
-        line = json.dumps(
-            {"kind": "snapshot", "snapshot_id": snapshot_id, "mend": mend},
-            separators=(",", ":"), sort_keys=True,
+        self._index_write([
+            {"kind": "snapshot", "snapshot_id": snapshot_id, "mend": post}
+        ])
+
+    def _msize(self) -> int:
+        return os.path.getsize(self.path) if os.path.exists(self.path) else 0
+
+    def _index_write(self, lines: list[dict]) -> None:
+        if not lines:
+            return
+        payload = "".join(
+            json.dumps(e, separators=(",", ":"), sort_keys=True) + "\n"
+            for e in lines
         )
         with open(self.index_path, "a") as f:
-            f.write(line + "\n")
+            f.write(payload)
             f.flush()
             os.fsync(f.fileno())
 
-    def mark_done(self, snapshot_id: str, part_entries: list[dict]) -> None:
-        for e in part_entries:
-            e.setdefault("kind", "part")
-            e.setdefault("status", "done")
-            e["snapshot_id"] = snapshot_id
-            e.setdefault("ts", time.time())
-        self.append(part_entries)
-        self._append_index_summaries(snapshot_id, part_entries)
+    def _last_index_mend(self) -> int:
+        """mend of the index's last complete line (tail read, O(1))."""
+        try:
+            size = os.path.getsize(self.index_path)
+        except OSError:
+            return 0
+        if size == 0:
+            return 0
+        with open(self.index_path, "rb") as f:
+            back = min(size, 1 << 16)
+            f.seek(size - back)
+            chunk = f.read(back)
+        best = 0
+        for line in chunk.splitlines():
+            try:
+                e = json.loads(line)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue
+            best = max(best, int(e.get("mend", 0)))
+        return best
 
-    def _append_index_summaries(
-        self, snapshot_id: str, part_entries: list[dict]
-    ) -> None:
-        """One chunk-summary line per chunk_dir present in the batch:
-        part-id list + key ranges aggregated over the chunk's parts
-        (None if ANY part is unzoned — chunk pruning must over-include,
-        exactly like the part-level poisoning rule one level down)."""
+    @staticmethod
+    def _chunk_summary_lines(
+        part_entries: list[dict], mend: int
+    ) -> list[dict]:
+        """One chunk-summary line per chunk_dir: part-id list + key
+        ranges aggregated over the chunk's parts (None if ANY part is
+        unzoned — chunk pruning must over-include, exactly like the
+        part-level poisoning rule one level down)."""
         by_chunk: dict[str, list[dict]] = {}
         for e in part_entries:
             if e.get("chunk_dir"):
                 by_chunk.setdefault(e["chunk_dir"], []).append(e)
-        if not by_chunk:
-            return
-        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         lines = []
         for cdir, parts in sorted(by_chunk.items()):
             def _agg(lo_key: str, hi_key: str):
@@ -168,27 +196,102 @@ class Manifest:
 
             klo, khi = _agg("key_lo", "key_hi")
             klo_s, khi_s = _agg("key_lo_s", "key_hi_s")
+            cols: set[str] = set()
+            part_rows: dict[str, int] = {}
+            for p in parts:
+                pc = p.get("columns") or {}
+                cols.update(pc)
+                n = next(
+                    (int(c["n_values"]) for c in pc.values()
+                     if "n_values" in c), 0,
+                )
+                part_rows[str(int(p["part_id"]))] = n
             lines.append(
                 {
                     "kind": "chunk",
                     "chunk_dir": cdir,
-                    "snapshot_id": snapshot_id,
+                    "snapshot_id": parts[0].get("snapshot_id"),
                     "parts": sorted(int(p["part_id"]) for p in parts),
                     "key_lo": klo,
                     "key_hi": khi,
                     "key_lo_s": klo_s,
                     "key_hi_s": khi_s,
+                    # column union + per-part row counts: lets decode's
+                    # schema-evolution pass run off the index instead of
+                    # a full O(parts) manifest read
+                    "columns": sorted(cols),
+                    "part_rows": part_rows,
                     "mend": mend,
                 }
             )
-        payload = "".join(
-            json.dumps(e, separators=(",", ":"), sort_keys=True) + "\n"
-            for e in lines
+        return lines
+
+    _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear")
+
+    def _heal_index(self, upto: int) -> None:
+        """Rescue manifest entries in [last index mend, upto) that never
+        got their index line (crash between a manifest append and its
+        index append). Without this, the NEXT index append's larger
+        mend would cover the orphaned bytes and the index read path
+        would silently lose them forever."""
+        last = self._last_index_mend()
+        if last >= upto:
+            return
+        span = self.read_tail(last, upto)
+        rescued: list[dict] = []
+        parts = [
+            e for e in span
+            if e.get("kind") == "part" and e.get("status") == "done"
+        ]
+        if parts:
+            rescued.extend(self._chunk_summary_lines(parts, upto))
+        for e in span:
+            if e.get("kind") in self._INDEXED_KINDS:
+                slim = {k: v for k, v in e.items()
+                        if k not in ("files", "ts")}                     if e.get("kind") == "snapshot" else dict(e)
+                slim["mend"] = upto
+                rescued.append(slim)
+        self._index_write(rescued)
+
+    def mark_done(
+        self, snapshot_id: str, part_entries: list[dict],
+        status: str = "done",
+    ) -> None:
+        """``status="staged"`` commits the part lines WITHOUT making
+        them live: invisible to listing/resume (done_parts), no chunk
+        index summary, and the resume sweep deletes their dirs — the
+        first half of an atomic two-phase commit whose second half is
+        one :meth:`commit_txn` line promoting them to done."""
+        for e in part_entries:
+            e.setdefault("kind", "part")
+            e.setdefault("status", status)
+            e["snapshot_id"] = snapshot_id
+            e.setdefault("ts", time.time())
+        pre = self._msize()
+        self.append(part_entries)
+        post = self._msize()
+        self._heal_index(pre)
+        if status == "done":
+            self._index_write(self._chunk_summary_lines(part_entries, post))
+
+    def commit_txn(self, entries: list[dict]) -> None:
+        """ATOMIC multi-entry commit: all entries land in ONE manifest
+        line (kind=txn) — a torn write drops the whole batch, never a
+        prefix — and one index line. Used by purge to promote staged
+        parts + retire old dirs + clear deletes as a single visible
+        state change."""
+        pre = self._msize()
+        self.append([{"kind": "txn", "entries": entries, "ts": time.time()}])
+        post = self._msize()
+        self._heal_index(pre)
+        parts = [e for e in entries
+                 if e.get("kind") == "part" and e.get("status") == "done"]
+        idx_entries = self._chunk_summary_lines(parts, post) + [
+            e for e in entries if e.get("kind") in self._INDEXED_KINDS
+        ]
+        self._index_write(
+            [{"kind": "txn", "entries": idx_entries, "mend": post}]
         )
-        with open(self.index_path, "a") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
 
     def append_rewrite(
         self, snapshot_id: str, new_chunk: str | None, replaces: list[str]
@@ -208,14 +311,11 @@ class Manifest:
             "replaces": sorted(replaces),
             "ts": time.time(),
         }
+        pre = self._msize()
         self.append([entry])
-        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
-        line = json.dumps({**entry, "mend": mend},
-                          separators=(",", ":"), sort_keys=True)
-        with open(self.index_path, "a") as f:
-            f.write(line + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
 
     def append_delete(
         self, snapshot_id: str, rel_file: str, key_col: str, n: int
@@ -232,14 +332,11 @@ class Manifest:
             "n": int(n),
             "ts": time.time(),
         }
+        pre = self._msize()
         self.append([entry])
-        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
-        line = json.dumps({**entry, "mend": mend},
-                          separators=(",", ":"), sort_keys=True)
-        with open(self.index_path, "a") as f:
-            f.write(line + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
 
     def append_delete_clear(
         self, snapshot_id: str, files: list[str]
@@ -255,14 +352,11 @@ class Manifest:
             "files": sorted(files),
             "ts": time.time(),
         }
+        pre = self._msize()
         self.append([entry])
-        mend = os.path.getsize(self.path) if os.path.exists(self.path) else 0
-        line = json.dumps({**entry, "mend": mend},
-                          separators=(",", ":"), sort_keys=True)
-        with open(self.index_path, "a") as f:
-            f.write(line + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
 
     def read_index(self) -> tuple[list[dict], int] | None:
         """(index entries, covered manifest bytes) or None when the
@@ -283,17 +377,37 @@ class Manifest:
                     e = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn tail: covered stays at prior line
-                entries.append(e)
+                if e.get("kind") == "txn":
+                    entries.extend(e.get("entries", ()))
+                else:
+                    entries.append(e)
                 covered = max(covered, int(e.get("mend", 0)))
         return entries, covered
 
-    def read_tail(self, offset: int) -> list[dict]:
-        """Manifest entries whose lines start at/after byte ``offset``."""
+    def read_tail(self, offset: int, upto: int | None = None) -> list[dict]:
+        """Manifest entries whose lines start at/after byte ``offset``
+        (and before ``upto`` when given — both are line boundaries by
+        construction: every append is flushed whole)."""
         if not os.path.exists(self.path):
             return []
         entries = []
         with open(self.path) as f:
             f.seek(offset)
+            if upto is not None:
+                data = f.read(max(upto - offset, 0))
+                for line in data.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        e = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if e.get("kind") == "txn":
+                        entries.extend(e.get("entries", ()))
+                    else:
+                        entries.append(e)
+                return entries
             if offset:
                 # offset always lands on a line boundary (mend is the
                 # file size right after a flushed append), but guard
@@ -304,7 +418,11 @@ class Manifest:
                 if not line:
                     continue
                 try:
-                    entries.append(json.loads(line))
+                    e = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if e.get("kind") == "txn":
+                    entries.extend(e.get("entries", ()))
+                else:
+                    entries.append(e)
         return entries

@@ -62,18 +62,18 @@ def mix_report(
     the stratified sampler, and the configured rate — the table a
     pipeline operator reads before committing a mixture."""
     rates = rates if rates is not None else {"en": 500, "zh": 300}
-    kept = stratified_sample(df, strata_col, key, rates, default_rate, denom)
-    total = df.groupBy(strata_col).agg(F.count("*").alias("n_input"))
-    k = kept.groupBy(strata_col).agg(F.count("*").alias("n_kept"))
+    bucket = _hash_bucket(F.col(key), denom)
     rate = F.lit(default_rate)
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    # single-pass aggregation (no total-vs-kept join, which would drop a
+    # NULL stratum's kept count — null keys never join)
+    kept_flag = F.when(bucket < rate, 1).otherwise(0)
     return (
-        total.join(k, strata_col, "left")
-        .select(
-            F.col(strata_col),
-            "n_input",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            rate.cast("int").alias("rate_per_mille"),
+        df.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+            F.first(rate).cast("int").alias("rate_per_mille"),
         )
     )

@@ -160,7 +160,11 @@ def windowed_event_stats_append(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # a drain that closed ZERO windows (all events within the watermark
+    # of max ts) leaves only _spark_metadata in the sink; reading it
+    # with the aggregation's schema yields the correct empty frame
+    # instead of a schema-inference error
+    return spark.read.schema(agg.schema).parquet(sink)
 
 
 def streaming_sessions(

@@ -100,3 +100,38 @@ def test_delete_then_append_still_tombstoned(spark, tmp_path):
     dec = decode_blocks(spark, out, schema)
     assert dec.filter(F.col("doc_id") == 7).count() == 0
     assert dec.count() == 499
+
+
+def test_purge_crash_before_txn_is_invisible(spark, tmp_path, monkeypatch):
+    """Atomicity: if purge crashes after the staged re-encode but BEFORE
+    the commit txn, readers see exactly the pre-purge state (old rows,
+    deletes still applied) — never doubled rows — and a re-run purge
+    completes cleanly."""
+    from libgiddy_spark import engine as E
+    from libgiddy_spark.manifest import Manifest
+
+    src, out, schema = _encode_docs(spark, tmp_path)
+    gone = [1, 2, 3]
+    delete_rows(out, "doc_id", gone)
+
+    orig = Manifest.commit_txn
+
+    def dying_txn(self, entries):
+        raise RuntimeError("simulated crash before purge txn")
+
+    monkeypatch.setattr(Manifest, "commit_txn", dying_txn)
+    with pytest.raises(RuntimeError):
+        purge_deletes(spark, out, schema, key_col="doc_id")
+    monkeypatch.setattr(Manifest, "commit_txn", orig)
+    # pre-purge state intact: no duplicates, deletes still merge-on-read
+    dec = decode_blocks(spark, out, schema)
+    assert dec.count() == 497
+    assert dec.filter(F.col("doc_id").isin(gone)).count() == 0
+    # re-run completes and the table stays exact
+    res = purge_deletes(spark, out, schema, key_col="doc_id")
+    assert res["rewritten"]
+    dec2 = decode_blocks(spark, out, schema)
+    assert dec2.count() == 497
+    srcdf = spark.read.parquet(src).filter(~F.col("doc_id").isin(gone))
+    rep = verify_roundtrip(srcdf, dec2, "doc_id")
+    assert rep["ok"], rep

@@ -62,11 +62,11 @@ def test_resume_after_crash_between_chunks(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
     orig = Manifest.mark_done
 
-    def dying_mark_done(self, snapshot_id, entries):
+    def dying_mark_done(self, snapshot_id, entries, **kw):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated crash before 2nd chunk commit")
-        return orig(self, snapshot_id, entries)
+        return orig(self, snapshot_id, entries, **kw)
 
     monkeypatch.setattr(Manifest, "mark_done", dying_mark_done)
     with pytest.raises(RuntimeError):

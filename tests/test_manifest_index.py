@@ -114,3 +114,67 @@ def test_index_lines_are_chunk_granular(tmp_path):
         kinds = [json.loads(l)["kind"] for l in f if l.strip()]
     assert kinds.count("chunk") == 5  # one line per chunk, not per part
     assert kinds.count("snapshot") == 1
+
+
+def test_crash_orphan_survives_later_index_appends(tmp_path):
+    """The reviewer's round-4 finding: chunk-b's part lines land in the
+    manifest but its index append is lost to a crash; a LATER commit
+    (chunk-c) must not advance coverage past the orphan — the writer
+    heals the index so chunk-b stays listed forever."""
+    out, m = _build(tmp_path, n_chunks=1, parts_per_chunk=2)  # chunk-a
+    # chunk-b: manifest append WITHOUT the index append (simulated crash)
+    d = os.path.join(out, "blocks", "chunk-b")
+    os.makedirs(d)
+    with open(os.path.join(d, "blk-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    m.append(
+        [
+            {
+                "kind": "part",
+                "status": "done",
+                "snapshot_id": "s1",
+                "part_id": 500,
+                "chunk_dir": "chunk-b",
+                "key_lo": 50_000,
+                "key_hi": 50_009,
+                "columns": {"k": {"n_values": 4}},
+            }
+        ]
+    )
+    # chunk-c commits normally -> its index mend would cover chunk-b's
+    # bytes; the healing pass must rescue chunk-b first
+    d2 = os.path.join(out, "blocks", "chunk-c")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "blk-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    m.mark_done("s1", [{"part_id": 600, "chunk_dir": "chunk-c",
+                        "key_lo": 60_000, "key_hi": 60_009,
+                        "columns": {"k": {"n_values": 4}}}])
+    files = E._committed_block_files(out)
+    assert os.path.join(d, "blk-0.parquet") in files
+    assert os.path.join(d2, "blk-0.parquet") in files
+    # and the index alone (no tail) now carries chunk-b: coverage check
+    entries, covered = m.read_index()
+    dirs = {e.get("chunk_dir") for e in entries if e.get("kind") == "chunk"}
+    assert "chunk-b" in dirs
+    assert covered == os.path.getsize(m.path)
+
+
+def test_crash_orphan_rewrite_and_delete_heal(tmp_path):
+    """Orphaned rewrite/delete entries (same crash window) are also
+    rescued into the index by the next writer."""
+    out, m = _build(tmp_path, n_chunks=2, parts_per_chunk=2)
+    m.append([{"kind": "rewrite", "snapshot_id": "s1",
+               "new_chunk": "chunk-z", "replaces": ["chunk-0000"]}])
+    d = os.path.join(out, "blocks", "chunk-z")
+    os.makedirs(d)
+    with open(os.path.join(d, "blk-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    # next normal commit heals
+    m.write_snapshot_header("s2", "src", [], 0)
+    files = E._committed_block_files(out)
+    assert not any("chunk-0000" in f for f in files)
+    assert os.path.join(d, "blk-0.parquet") in files
+    entries, covered = m.read_index()
+    assert any(e.get("kind") == "rewrite" for e in entries)
+    assert covered == os.path.getsize(m.path)
