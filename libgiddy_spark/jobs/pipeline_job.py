@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup_corpus", "text_stats", "ann_topk",
                              "near_dups", "ivf_assign", "hll", "cms",
-                             "sessions"])
+                             "sessions", "tfidf", "sample"])
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key-col", default=None)
@@ -80,6 +80,15 @@ def main() -> None:
         from libgiddy_spark.pipeline import ivf_assign
 
         res = ivf_assign(df, key=args.key_col or "vec_id", emb=args.emb_col)
+    elif args.op == "tfidf":
+        from libgiddy_spark.pipeline import tfidf_top_terms
+
+        res = tfidf_top_terms(df, key=args.key_col or "doc_id",
+                              text=args.text_col, k=args.k)
+    elif args.op == "sample":
+        from libgiddy_spark.pipeline import stratified_sample
+
+        res = stratified_sample(df, key=args.key_col or "doc_id")
     elif args.op == "sessions":
         from libgiddy_spark.pipeline import sessionize
 
