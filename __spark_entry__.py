@@ -445,6 +445,16 @@ def q_text_tfidf_top(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: per doc, bigram count, max
+    bigram repetition, and duplicate-bigram occurrence fraction x1000
+    (floor) — the boilerplate/spam filter signal of a corpus pipeline;
+    integer-exact, one explode + two hash aggregations."""
+    from libgiddy_spark.pipeline import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_text_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score (integer-exact perplexity
     proxy): per-doc token count, total floor-log2 bits, mean x1000."""
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mix_report": q_corpus_mix_report,
         "text_tfidf_top": q_text_tfidf_top,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
@@ -1112,6 +1123,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, term ASC) AS INT) AS rnk FROM s) "
             "SELECT doc_id, term, tf, idf_bits, score, rnk FROM r "
             "WHERE rnk <= 3",
+        "text_repetition":
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "b AS (SELECT doc_id, t.bg FROM w, "
+            "UNNEST(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i + 1])) AS t(bg)), "
+            "c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, "
+            "CAST(MAX(n) AS BIGINT) AS max_bigram, "
+            "CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) "
+            "AS dup_bigrams, "
+            "(1000 * CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)) "
+            "// CAST(SUM(n) AS BIGINT) AS dup_frac_x1000 "
+            "FROM c GROUP BY doc_id",
         "text_surprisal":
             "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
             "FROM documents), "

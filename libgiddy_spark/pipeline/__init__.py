@@ -52,6 +52,7 @@ from .text import (  # noqa: F401
     fingerprints,
     lang_id,
     quality_score,
+    repetition_signals,
     tfidf_top_terms,
     token_stats,
     unigram_surprisal,

@@ -114,6 +114,44 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filter signals, integer-exact: per doc,
+    bigram count, the most-repeated bigram's count, and the fraction of
+    bigram occurrences belonging to repeated bigrams (x1000, floor) —
+    high values flag boilerplate / spam / degenerate generations.
+    Documents with fewer than two tokens have no bigrams and drop out
+    (same in the SQL oracle). One explode + two hash aggregations,
+    all JVM-side."""
+    ws = _words(F.col(text))
+    # element_at is 1-based; guard <2 tokens (sequence(0,-1) DESCENDS)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = df.select(F.col(key), F.explode(bigrams).alias("bg"))
+    c = b.groupBy(key, "bg").agg(F.count("*").alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long")
+    return (
+        c.groupBy(key)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").cast("long").alias("max_bigram"),
+            dup.alias("dup_bigrams"),
+        )
+        .withColumn(
+            "dup_frac_x1000",
+            idiv(1000 * F.col("dup_bigrams"), F.col("n_bigrams")),
+        )
+    )
+
+
 # BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols
 # (ASCII classes mean the same thing to Java regex and RE2 — exact oracle)
 BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"

@@ -538,3 +538,17 @@ def test_tfidf_rare_term_outranks_common(spark):
     # "common" appears in every doc -> idf_bits = 0 -> score 0;
     # doc 0's rare term must rank first
     assert top[(0, 1)] == "rareword"
+
+
+def test_repetition_signals_flag_degenerate_text(spark):
+    from libgiddy_spark.pipeline import repetition_signals
+
+    docs = [(0, "spam spam spam spam spam"),
+            (1, "each word here appears exactly once today"),
+            (2, "one")]  # <2 tokens -> no bigrams -> dropped
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[0]["dup_frac_x1000"] == 1000  # all bigrams identical
+    assert got[0]["max_bigram"] == 4
+    assert got[1]["dup_frac_x1000"] == 0
+    assert 2 not in got
