@@ -430,8 +430,10 @@ def encode_files(
             e.pop("_zone_poisoned", None)
             e.pop("_zone_poisoned_s", None)
         entries = [e for e in per_part.values() if e["columns"]]
+        # empty parts inherit commit_status too: a hard-coded "done"
+        # would leak a staged purge's empty part live before its txn
         empty = [
-            {**per_part[p], "status": "done", "empty": True}
+            {**per_part[p], "status": commit_status, "empty": True}
             for p in per_part
             if not per_part[p]["columns"]
         ]
@@ -1040,26 +1042,33 @@ def _evolution_null_parts(
         ):
             retired.update(e.get("replaces", ()))
     out: list[tuple[int, int]] = []
-    seen_chunks: set[str] = set()
+    # chunk lines first, UNIONED per chunk_dir (a healed line and a
+    # regular line for the same dir must merge like the listing does,
+    # never first-wins-shadow), tail part lines after
+    by_cdir: dict[str, dict] = {}
+    for e in entries:
+        if e.get("kind") != "chunk" or not e.get("chunk_dir"):
+            continue
+        cdir = e["chunk_dir"]
+        if cdir in retired:
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue
+        agg = by_cdir.setdefault(cdir, {"columns": set(), "part_rows": {}})
+        agg["columns"].update(e.get("columns") or ())
+        agg["part_rows"].update(e.get("part_rows") or {})
+    seen_chunks = set(by_cdir)
+    for agg in by_cdir.values():
+        if not agg["columns"] or agg["columns"] & wanted_cols:
+            continue  # normal decode path covers these parts
+        for pid_s, n in agg["part_rows"].items():
+            pid = int(pid_s)
+            if wanted_p is not None and pid not in wanted_p:
+                continue
+            if n:
+                out.append((pid, int(n)))
     for e in entries:
         kind = e.get("kind")
-        if kind == "chunk":
-            cdir = e.get("chunk_dir")
-            if cdir in retired or cdir in seen_chunks:
-                continue
-            seen_chunks.add(cdir)
-            if accepted is not None and e.get("snapshot_id") not in accepted:
-                continue
-            cols = e.get("columns") or ()
-            if not cols or set(cols) & wanted_cols:
-                continue  # normal decode path covers these parts
-            for pid_s, n in (e.get("part_rows") or {}).items():
-                pid = int(pid_s)
-                if wanted_p is not None and pid not in wanted_p:
-                    continue
-                if n:
-                    out.append((pid, int(n)))
-            continue
         if kind != "part" or e.get("status") != "done":
             continue
         if e.get("chunk_dir") in retired or e.get("chunk_dir") in seen_chunks:
@@ -1078,6 +1087,50 @@ def _evolution_null_parts(
         if n:
             out.append((pid, n))
     return out
+
+
+def _apply_evolution_and_deletes(
+    spark: SparkSession,
+    result: DataFrame,
+    out_dir: str,
+    schema: pa.Schema,
+    wanted_cols: set[str],
+    part_ids,
+    as_of,
+    may_have_rows: bool,
+) -> DataFrame:
+    """Shared decode tail: union schema-evolution null rows, then apply
+    equality-delete anti-joins. One definition for both the normal and
+    the fully-pruned-listing paths, so their semantics cannot drift."""
+    evo = _evolution_null_parts(out_dir, wanted_cols, part_ids, as_of)
+    for pid, n in evo:
+        nulls = spark.range(n).select(
+            *[
+                F.lit(None).cast(_spark_type_of(f.type)).alias(f.name)
+                for f in schema
+            ],
+            F.lit(pid).cast("int").alias("part_id"),
+        )
+        result = result.unionByName(nulls)
+    if not (may_have_rows or evo):
+        # provably zero rows: tombstones cannot apply, and raising on a
+        # projection-excluded delete key here would fail calls whose
+        # result is the empty frame either way
+        return result
+    # EQUALITY DELETES (merge-on-read): anti-join tombstoned keys out.
+    # Delete files are bounded key lists -> broadcast anti-join, no
+    # shuffle of decoded rows. Time travel to a snapshot before the
+    # delete never sees its entry (_accepted_deletes filters by as_of).
+    for dfile, dkey in _accepted_deletes(out_dir, as_of):
+        if dkey not in result.columns:
+            raise ValueError(
+                f"equality-delete file {dfile!r} tombstones on column "
+                f"{dkey!r}, which the projection excludes — include it "
+                "so merge-on-read can apply (or purge deletes first)"
+            )
+        tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
+        result = result.join(F.broadcast(tomb), dkey, "left_anti")
+    return result
 
 
 def decode_blocks(
@@ -1153,31 +1206,12 @@ def decode_blocks(
     ddl = out_fields + ", part_id int"
     wanted_cols_set = {f.name for f in schema}
     if not files:
-        # even a fully-pruned listing must still honor schema evolution:
-        # pre-evolution parts whose columns the projection excludes have
-        # no block rows anywhere, yet their null rows are part of the
-        # result (same union as the main path below)
-        result = spark.createDataFrame([], ddl)
-        for pid, n in _evolution_null_parts(
-            out_dir, wanted_cols_set, part_ids, as_of
-        ):
-            nulls = spark.range(n).select(
-                *[
-                    F.lit(None).cast(_spark_type_of(f.type)).alias(f.name)
-                    for f in schema
-                ],
-                F.lit(pid).cast("int").alias("part_id"),
-            )
-            result = result.unionByName(nulls)
-        for dfile, dkey in _accepted_deletes(out_dir, as_of):
-            if dkey not in result.columns:
-                raise ValueError(
-                    f"equality-delete file {dfile!r} tombstones on "
-                    f"column {dkey!r}, which the projection excludes"
-                )
-            tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
-            result = result.join(F.broadcast(tomb), dkey, "left_anti")
-        return result
+        # a fully-pruned listing must still honor schema evolution and
+        # deletes — the same shared tail as the main path
+        return _apply_evolution_and_deletes(
+            spark, spark.createDataFrame([], ddl), out_dir, schema,
+            wanted_cols_set, part_ids, as_of, may_have_rows=False,
+        )
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
     krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
     krange_s = (str(key_range_s[0]), str(key_range_s[1])) if key_range_s is not None else None
@@ -1348,35 +1382,10 @@ def decode_blocks(
         "path string",
     )
     result = pdf.mapInArrow(decode_stream, schema=ddl)
-    # schema evolution, all-post-evolution projection: parts encoded
-    # before every projected column existed have no matching block rows
-    # at all — emit their rows as nulls from the manifest row counts
-    # instead of silently dropping them (ADVICE r3).
-    evo = _evolution_null_parts(out_dir, set(wanted_cols), part_ids, as_of)
-    for pid, n in evo:
-        nulls = spark.range(n).select(
-            *[
-                F.lit(None).cast(_spark_type_of(f.type)).alias(f.name)
-                for f in schema
-            ],
-            F.lit(pid).cast("int").alias("part_id"),
-        )
-        result = result.unionByName(nulls)
-    # EQUALITY DELETES (merge-on-read): anti-join tombstoned keys out.
-    # Delete files are bounded key lists -> broadcast anti-join, no
-    # shuffle of decoded rows. Time travel to a snapshot before the
-    # delete never sees its entry (_accepted_deletes filters by as_of).
-    deletes = _accepted_deletes(out_dir, as_of)
-    for dfile, dkey in deletes:
-        if dkey not in result.columns:
-            raise ValueError(
-                f"equality-delete file {dfile!r} tombstones on column "
-                f"{dkey!r}, which the projection excludes — include it "
-                "so merge-on-read can apply (or purge deletes first)"
-            )
-        tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
-        result = result.join(F.broadcast(tomb), dkey, "left_anti")
-    return result
+    return _apply_evolution_and_deletes(
+        spark, result, out_dir, schema, set(wanted_cols), part_ids,
+        as_of, may_have_rows=True,
+    )
 
 
 _SPARK_TYPES = {

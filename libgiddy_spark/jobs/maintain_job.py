@@ -26,7 +26,9 @@ def main() -> None:
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--delete-keys", default=None, metavar="K1,K2,...",
                     help="equality delete (merge-on-read): tombstone "
-                         "these key values; requires --key-col")
+                         "these key values; requires --key-col AND "
+                         "--source (values are typed from the key "
+                         "column's schema)")
     ap.add_argument("--key-col", default=None)
     ap.add_argument("--purge", action="store_true",
                     help="materialize pending deletes: full rewrite "

@@ -153,25 +153,33 @@ class Manifest:
             os.fsync(f.fileno())
 
     def _last_index_mend(self) -> int:
-        """mend of the index's last complete line (tail read, O(1))."""
+        """mend of the index's last complete line. Tail read with a
+        progressively widening window: a purge txn line can exceed any
+        fixed window (it carries every chunk summary in one line), and
+        a too-small window returning 0 would make the next heal re-read
+        and re-index the whole manifest."""
         try:
             size = os.path.getsize(self.index_path)
         except OSError:
             return 0
         if size == 0:
             return 0
-        with open(self.index_path, "rb") as f:
-            back = min(size, 1 << 16)
-            f.seek(size - back)
-            chunk = f.read(back)
-        best = 0
-        for line in chunk.splitlines():
-            try:
-                e = json.loads(line)
-            except (json.JSONDecodeError, UnicodeDecodeError):
-                continue
-            best = max(best, int(e.get("mend", 0)))
-        return best
+        back = 1 << 16
+        while True:
+            back = min(back, size)
+            with open(self.index_path, "rb") as f:
+                f.seek(size - back)
+                chunk = f.read(back)
+            best = 0
+            for line in chunk.splitlines():
+                try:
+                    e = json.loads(line)
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    continue
+                best = max(best, int(e.get("mend", 0)))
+            if best or back == size:
+                return best
+            back *= 16
 
     @staticmethod
     def _chunk_summary_lines(
@@ -268,7 +276,13 @@ class Manifest:
             e["snapshot_id"] = snapshot_id
             e.setdefault("ts", time.time())
         pre = self._msize()
-        self.append(part_entries)
+        # ONE txn line for the whole chunk: a multi-line append can tear
+        # to a PREFIX of part lines (buffered write, crash pre-fsync),
+        # and the resume sweep would then delete the chunk dir while the
+        # prefix parts stay "done" with no data — silent row loss. A
+        # single line tears wholly or not at all.
+        self.append([{"kind": "txn", "entries": part_entries,
+                      "ts": time.time()}])
         post = self._msize()
         self._heal_index(pre)
         if status == "done":

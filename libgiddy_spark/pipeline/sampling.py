@@ -26,6 +26,15 @@ def _hash_bucket(key_col, denom: int):
     return F.pmod(h.cast("long"), F.lit(denom))
 
 
+def _rate_expr(strata_col: str, rates: dict[str, int], default_rate: int):
+    """The ONE definition of the per-stratum rate — the sampler and its
+    audit report both derive from it, so they cannot drift."""
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return rate
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",
@@ -41,9 +50,7 @@ def stratified_sample(
     auditability."""
     rates = rates if rates is not None else {"en": 500, "zh": 300}
     bucket = _hash_bucket(F.col(key), denom)
-    rate = F.lit(default_rate)
-    for value, r in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    rate = _rate_expr(strata_col, rates, default_rate)
     return (
         df.withColumn("bucket", bucket)
         .filter(F.col("bucket") < rate)
@@ -63,9 +70,7 @@ def mix_report(
     pipeline operator reads before committing a mixture."""
     rates = rates if rates is not None else {"en": 500, "zh": 300}
     bucket = _hash_bucket(F.col(key), denom)
-    rate = F.lit(default_rate)
-    for value, r in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    rate = _rate_expr(strata_col, rates, default_rate)
     # single-pass aggregation (no total-vs-kept join, which would drop a
     # NULL stratum's kept count — null keys never join)
     kept_flag = F.when(bucket < rate, 1).otherwise(0)

@@ -147,11 +147,11 @@ def test_manifest_string_bounds_prune_whole_parts(spark, tmp_path):
     """Driver-side part pruning via the manifest's string bounds: a
     range left of every text still decodes correctly (empty), and the
     manifest carries part-level string bounds."""
-    import json
+    from libgiddy_spark.manifest import Manifest
 
     src, out, schema = _encode_docs(spark, tmp_path, "mp")
-    parts = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))
-             if '"kind":"part"' in l or '"kind": "part"' in l]
+    # Manifest.read expands chunk-atomic txn lines into part entries
+    parts = [e for e in Manifest(out).read() if e.get("kind") == "part"]
     assert any(e.get("key_lo_s") for e in parts)
     assert decode_blocks(spark, out, schema,
                          key_range_s=("\0", "\0\0")).count() == 0
