@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--as-of", default=None, metavar="SNAPSHOT_ID",
                     help="time travel: decode only parts committed up "
                          "to this manifest snapshot id")
+    ap.add_argument("--columns", default=None, metavar="C1,C2,...",
+                    help="column projection: decode only these columns "
+                         "(payload bytes of others are skipped at the "
+                         "row-group level)")
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -52,6 +56,20 @@ def main() -> None:
         else os.path.join(args.source, first_rel)
     )
     schema = pq.read_schema(schema_path)
+    full_schema = schema
+    if args.columns:
+        proj = args.columns.split(",")
+        missing = [c for c in proj if schema.get_field_index(c) < 0]
+        if missing:
+            ap.error(f"--columns not in the source schema: {missing}")
+        if args.key_col not in proj and (
+            args.key_range or args.key_point is not None or args.verify
+        ):
+            # probes/verify compare on the key column — keep it projected
+            proj = [args.key_col, *proj]
+        import pyarrow as pa_mod
+
+        schema = pa_mod.schema([schema.field(c) for c in proj])
     # probe types follow the KEY COLUMN's schema, not what the text
     # happens to parse as: '0123' against a string key must stay the
     # literal string (an int would implicit-cast-match '123'), and a
@@ -61,7 +79,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    ktype = schema.field(args.key_col).type
+    ktype = full_schema.field(args.key_col).type
     is_ts = pa.types.is_timestamp(ktype)
     is_int = pa.types.is_integer(ktype)
 
@@ -106,6 +124,8 @@ def main() -> None:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
         src = _exact(spark.read.parquet(args.source))
+        if args.columns:
+            src = src.select(*[f.name for f in schema])
         rep = verify_roundtrip(src, dec, args.key_col)
         print(json.dumps(rep))
         if not rep["ok"]:

@@ -109,3 +109,27 @@ def test_delete_purge_cli(spark, tmp_path, monkeypatch, capsys):
     _run(monkeypatch, decode_job,
          ["--encoded", out, "--source", src, "--key-col", "doc_id"])
     assert _last_json(capsys)["rows_decoded"] == 497
+
+
+def test_decode_cli_column_projection(spark, tmp_path, monkeypatch, capsys):
+    from libgiddy_spark.jobs import decode_job, encode_job
+
+    src = str(tmp_path / "psrc")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(
+        2).write.parquet(src)
+    out = str(tmp_path / "penc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id"])
+    capsys.readouterr()
+    dst = str(tmp_path / "proj_out")
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--columns", "lang", "--out", dst])
+    got = spark.read.parquet(dst)
+    assert set(got.columns) == {"lang", "part_id"}
+    assert got.count() == 500
+    # projection + verify keeps the key column for the comparison join
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--columns", "lang", "--verify"])
+    assert _last_json(capsys)["ok"]

@@ -113,3 +113,38 @@ def test_compact_pruned_decode_still_prunes(spark, tmp_path):
     assert got == 21
     assert decode_blocks(spark, out, schema,
                          key_range=(10**9, 2 * 10**9)).count() == 0
+
+
+def test_streaming_microbatches_then_compact(spark, tmp_path):
+    """The operational story end-to-end: micro-batch streaming encode
+    (one chunk dir per batch), compaction bin-packs them, decode stays
+    bit-identical — compaction is the companion of streaming ingestion."""
+    import shutil
+
+    from libgiddy_spark.streaming import encode_stream
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # four "arrivals"
+    staged = str(tmp_path / "staged")
+    docs.repartition(4).write.parquet(staged)
+    for i, f in enumerate(sorted(
+            x for x in os.listdir(staged) if x.endswith(".parquet"))):
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f"a{i}.parquet"))
+    out = str(tmp_path / "enc")
+    q = encode_stream(spark, src, out, key_col="doc_id",
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      max_files_per_trigger=1, chunk_parts=1)
+    q.awaitTermination()
+    n_dirs = len(glob.glob(out + "/blocks/chunk-*"))
+    assert n_dirs == 4  # one chunk dir per micro-batch file
+    res = compact_blocks(spark, out, target_file_bytes=64 << 20)
+    assert res["bins"] >= 1 and res["files_after"] < res["files_before"]
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    dec = decode_blocks(spark, out, schema)
+    rep = verify_roundtrip(docs, dec, "doc_id")
+    assert rep["ok"], rep
+    vacuum_blocks(out)
+    rep2 = verify_roundtrip(docs, decode_blocks(spark, out, schema), "doc_id")
+    assert rep2["ok"], rep2
