@@ -175,6 +175,7 @@ def streaming_sessions(
     gap_us: int = 6 * 3600 * 1_000_000,
     watermark: str = "12 hours",
     max_files_per_trigger: int | None = None,
+    state_probe_acc=None,
 ):
     """CUSTOM STATEFUL STREAMING operator (SURVEY §2.2's plug point,
     VERDICT r3 #3): gap-based sessionization via
@@ -199,7 +200,21 @@ def streaming_sessions(
     one trigger (no mid-stream watermark races regardless of file
     order); setting it exercises multi-batch watermark advancement —
     deterministic only if files arrive in event-time order (the
-    pytest stages mtimes to force this)."""
+    pytest stages mtimes to force this).
+
+    STATE IS BOUNDED (VERDICT r4 #2): per key, state is ONE compacted
+    aggregate triple ``(a_start, a_last, a_n)`` for the
+    watermark-stable prefix of the first open session, plus raw
+    timestamps only at/above the watermark. New arrivals are >= the
+    watermark by contract, so stamps below it can never gain an
+    insertion before/between them — their session membership and count
+    are final and an aggregate suffices. At most ONE open session can
+    hold sub-watermark stamps: the first open session's end ``e``
+    satisfies ``e + gap >= wm``, so any later open session starts
+    ``> e + gap >= wm``. A continuously-crawling bot key therefore
+    costs O(events above watermark) state, not O(events in the open
+    session). ``state_probe_acc`` (a Spark accumulator, tests only)
+    sums the retained raw-tail length per invocation as evidence."""
     global _sink_seq
     import pandas as pd
 
@@ -222,52 +237,85 @@ def streaming_sessions(
         f"{user_col} long, session_seq int, n_events long, "
         "t_start timestamp, t_end timestamp, duration_us long"
     )
-    state_type = "buf array<long>, next_seq int"
+    state_type = ("a_start long, a_last long, a_n long, "
+                  "floor long, raw array<long>, next_seq int")
 
     def fn(key, pdf_iter, state):
         if state.exists:
-            buf, next_seq = state.get
-            buf = list(buf)
+            a_start, a_last, a_n, floor, raw, next_seq = state.get
+            raw = list(raw)
         else:
-            buf, next_seq = [], 1
+            a_start = a_last = a_n = None
+            floor, raw, next_seq = 0, [], 1
+        wm_us = state.getCurrentWatermarkMs() * 1000
         for pdf in pdf_iter:
             if len(pdf):
-                buf.extend(
-                    int(v)
-                    for v in pdf[ts_col].astype("datetime64[us]").astype("int64")
+                # stamps below the last compaction floor were folded
+                # into the aggregate already; by the watermark contract
+                # they are late-beyond-watermark and dropped
+                raw.extend(
+                    t
+                    for t in map(int, pdf[ts_col]
+                                 .astype("datetime64[us]").astype("int64"))
+                    if t >= floor
                 )
-        buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        # split the buffer into gap-delimited sessions
-        sessions: list[list[int]] = []
-        for t in buf:
-            if sessions and t - sessions[-1][-1] <= gap_us:
-                sessions[-1].append(t)
+        raw.sort()
+        # build gap-delimited sessions: the (at most one) compacted
+        # aggregate span seeds the first; raw stamps (all >= floor >
+        # a_last) thread on in order. [start, last, n, stamps]
+        sessions: list[list] = []
+        if a_n is not None:
+            sessions.append([a_start, a_last, a_n, []])
+        for t in raw:
+            if sessions and t - sessions[-1][1] <= gap_us:
+                s = sessions[-1]
+                s[1] = t
+                s[2] += 1
+                s[3].append(t)
             else:
-                sessions.append([t])
+                sessions.append([t, t, 1, [t]])
         # a session is CLOSED once the watermark passes end+gap: no
         # event that could extend it (ts <= end+gap) or sort into it
-        # can still arrive. Closed sessions form a prefix.
+        # can still arrive. Closed sessions form a prefix (ends are
+        # increasing).
         rows = []
         n_closed = 0
-        for s in sessions:
-            if s[-1] + gap_us < wm_us:
+        for start, last, n, _stamps in sessions:
+            if last + gap_us < wm_us:
                 rows.append(
-                    (int(key[0]), next_seq, len(s),
-                     pd.Timestamp(s[0], unit="us"),
-                     pd.Timestamp(s[-1], unit="us"),
-                     s[-1] - s[0])
+                    (int(key[0]), next_seq, n,
+                     pd.Timestamp(start, unit="us"),
+                     pd.Timestamp(last, unit="us"),
+                     last - start)
                 )
                 next_seq += 1
                 n_closed += 1
             else:
                 break
-        remaining = [t for s in sessions[n_closed:] for t in s]
-        if remaining:
-            state.update((remaining, next_seq))
+        open_s = sessions[n_closed:]
+        if open_s:
+            # compact the watermark-stable prefix of the FIRST open
+            # session into the aggregate triple; only stamps >= wm stay
+            # raw. Later open sessions start above wm (gap proof in the
+            # docstring), so their stamps are all raw.
+            start0, last0, n0, stamps0 = open_s[0]
+            stable = [t for t in stamps0 if t < wm_us]
+            seeded = n0 > len(stamps0)  # carried an aggregate prefix
+            if seeded or stable:
+                na_start = start0
+                na_last = stable[-1] if stable else a_last
+                na_n = n0 - (len(stamps0) - len(stable))
+            else:
+                na_start = na_last = na_n = None
+            new_raw = stamps0[len(stable):] + [
+                t for s in open_s[1:] for t in s[3]
+            ]
+            state.update((na_start, na_last, na_n, wm_us, new_raw,
+                          next_seq))
             # fire again when the first open session becomes closable
-            first_end = sessions[n_closed][-1]
-            state.setTimeoutTimestamp((first_end + gap_us) // 1000 + 1)
+            state.setTimeoutTimestamp((last0 + gap_us) // 1000 + 1)
+            if state_probe_acc is not None:
+                state_probe_acc.add(len(new_raw))
         else:
             state.remove()
         if rows:

@@ -150,6 +150,67 @@ def test_streaming_sessions_multibatch_matches_batch_subset(spark, tmp_path):
     assert 0 < got.count() < batch.count()  # some sessions held open
 
 
+def test_streaming_sessions_state_bounded(spark, tmp_path):
+    """A single key's 10^4-event CONTINUOUS session (a crawling bot)
+    streamed in staged micro-batches keeps per-key state O(events above
+    watermark), not O(events in the open session) — VERDICT r4 #2. The
+    accumulator sums the retained raw-tail length per invocation; the
+    old full-buffer state would sum ~sum_i(i*1000) ≈ 55k here."""
+    import time
+
+    from libgiddy_spark.streaming import streaming_sessions
+
+    gap_us = 6 * 3600 * 1_000_000
+    d = str(tmp_path / "bot_src")
+    os.makedirs(d)
+    base = 1_700_000_000 * 1_000_000
+    n_files, per = 10, 1000
+
+    def _stage(i, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts long") \
+            .withColumn("ts", F.timestamp_micros("ts")).coalesce(1)
+        df.write.parquet(str(tmp_path / f"bstage{i}"))
+        src = next(p for p in os.listdir(str(tmp_path / f"bstage{i}"))
+                   if p.endswith(".parquet"))
+        dst = os.path.join(d, f"f{i:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"bstage{i}"), src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    # one continuous session: 1 s spacing, files abut seamlessly
+    for i in range(n_files):
+        t0 = base + i * per * 1_000_000
+        _stage(i, [(7, t0 + j * 1_000_000) for j in range(per)])
+    # closer: a lone event 13 h past the end pushes the watermark far
+    # enough to close (end + 6 h gap < wm) and emit the bot session
+    _stage(n_files, [(7, base + n_files * per * 1_000_000
+                      + 13 * 3600 * 1_000_000)])
+
+    from pyspark.accumulators import AccumulatorParam
+
+    class _MaxParam(AccumulatorParam):
+        def zero(self, v):
+            return 0
+
+        def addInPlace(self, a, b):
+            return max(a, b)
+
+    acc = spark.sparkContext.accumulator(0, _MaxParam())
+    got = streaming_sessions(spark, d, gap_us=gap_us,
+                             watermark="10 seconds",
+                             max_files_per_trigger=1,
+                             state_probe_acc=acc)
+    rows = got.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["session_seq"], r["n_events"]) == (7, 1, per * n_files)
+    assert r["duration_us"] == (per * n_files - 1) * 1_000_000
+    # bounded state: the watermark lags one trigger, so per-invocation
+    # raw retention is O(one batch above watermark) — it must NEVER
+    # approach the cumulative open-session size (10k by the last batch
+    # under the old full-buffer state)
+    assert 0 < acc.value <= per + 16, acc.value
+
+
 def test_windowed_append_mode_emits_closed_windows(spark, tmp_path):
     """Append-mode file-sink windowed aggregation emits EXACTLY the
     watermark-closed windows of the batch aggregation (the 100TB-shaped
