@@ -456,9 +456,11 @@ def blocks_df(spark: SparkSession, out_dir: str) -> DataFrame:
     so a raw recursive directory read would double-count rows."""
     files = _committed_block_files(out_dir)
     if not files:
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            os.path.join(out_dir, "blocks")
-        )
+        # No committed chunks at HEAD (crashed first encode, or a fully
+        # retired table awaiting vacuum). A directory fallback here
+        # would surface staged/retired files, contradicting the LIVE
+        # contract — the honest answer is the empty block frame.
+        return spark.createDataFrame([], BLOCKS_DDL)
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
@@ -638,10 +640,41 @@ def vacuum_blocks(out_dir: str) -> dict:
     if os.path.isdir(purge_src):
         shutil.rmtree(purge_src)
         removed.append("_purge_src")
-    if removed:
-        m.append([{"kind": "vacuum", "removed": removed,
-                   "ts": time.time()}])
-    return {"removed": removed}
+    # Orphaned STAGED entries (a purge that crashed between its staged
+    # encode and its txn, then was retried under a new snapshot id):
+    # sweep any leftover staged chunk dirs and mark the snapshot ids
+    # expired in ONE line, so the dead staged lines are declared — not
+    # re-examined — by every later maintenance pass.
+    entries = m.read()
+    promoted = {e.get("snapshot_id") for e in entries
+                if e.get("kind") == "part" and e.get("status") == "done"}
+    expired: set[str] = set()
+    for e in entries:
+        if e.get("kind") == "staged_expire":
+            expired.update(e.get("snapshot_ids", ()))
+    orphans: dict[str, set[str]] = {}
+    for e in entries:
+        if (e.get("kind") == "part" and e.get("status") == "staged"
+                and e.get("snapshot_id") not in promoted
+                and e.get("snapshot_id") not in expired):
+            dirs = orphans.setdefault(e["snapshot_id"], set())
+            if e.get("chunk_dir"):
+                dirs.add(e["chunk_dir"])
+    for _sid, dirs in sorted(orphans.items()):
+        for d in sorted(dirs):
+            full = os.path.join(blocks_root, d)
+            if d not in live_dirs and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(d)
+    if removed or orphans:
+        entry = {"kind": "vacuum", "removed": removed, "ts": time.time()}
+        lines = [entry]
+        if orphans:
+            lines.append({"kind": "staged_expire",
+                          "snapshot_ids": sorted(orphans),
+                          "ts": time.time()})
+        m.append(lines)
+    return {"removed": removed, "expired_staged": sorted(orphans)}
 
 
 def _committed_block_files(
@@ -880,11 +913,19 @@ def delete_rows(out_dir: str, key_col: str, keys: list) -> dict:
             "snapshot_id": snap_id}
 
 
+# Largest tombstone list applied as a broadcast anti-join at decode;
+# above this the anti-join shuffles instead (see
+# _apply_evolution_and_deletes). ~8 MB of int64 keys — well under any
+# sane spark.sql.autoBroadcastJoinThreshold, far below executor heap.
+DELETE_BROADCAST_MAX_KEYS = 1_000_000
+
+
 def _accepted_deletes(
     out_dir: str, as_of: str | None = None
-) -> list[tuple[str, str]]:
-    """(abs delete file, key_col) for delete entries visible at
-    ``as_of`` (or HEAD), via the chunk index + manifest tail."""
+) -> list[tuple[str, str, int]]:
+    """(abs delete file, key_col, n_keys) for delete entries visible at
+    ``as_of`` (or HEAD), via the chunk index + manifest tail. n_keys
+    comes from the manifest entry — no file scan."""
     m = Manifest(out_dir)
     idx = m.read_index()
     if idx is not None:
@@ -914,7 +955,8 @@ def _accepted_deletes(
             continue
         if e["file"] in cleared:
             continue  # materialized by a purge rewrite
-        out.append((os.path.join(out_dir, e["file"]), e["key_col"]))
+        out.append((os.path.join(out_dir, e["file"]), e["key_col"],
+                    int(e.get("n", 0))))
     return out
 
 
@@ -975,7 +1017,7 @@ def purge_deletes(
             "kind": "delete_clear",
             "snapshot_id": summary["snapshot_id"],
             "files": sorted(
-                os.path.relpath(f, out_dir) for f, _k in deletes
+                os.path.relpath(f, out_dir) for f, _k, _n in deletes
             ),
             "ts": time.time(),
         }]
@@ -1118,10 +1160,26 @@ def _apply_evolution_and_deletes(
         # result is the empty frame either way
         return result
     # EQUALITY DELETES (merge-on-read): anti-join tombstoned keys out.
-    # Delete files are bounded key lists -> broadcast anti-join, no
-    # shuffle of decoded rows. Time travel to a snapshot before the
-    # delete never sees its entry (_accepted_deletes filters by as_of).
-    for dfile, dkey in _accepted_deletes(out_dir, as_of):
+    # Bounded key lists -> broadcast anti-join, no shuffle of decoded
+    # rows. A GDPR-scale purge wave (10^8+ keys) would OOM a broadcast,
+    # so past the threshold the anti-join runs as a SHUFFLE_HASH join
+    # instead (the key count is in the manifest entry — decided without
+    # scanning the delete file); purge_deletes remains the way to stop
+    # paying it entirely. Time travel to a snapshot before the delete
+    # never sees its entry (_accepted_deletes filters by as_of).
+    bcast_max = int(os.environ.get(
+        "LGS_DELETE_BROADCAST_MAX_KEYS", DELETE_BROADCAST_MAX_KEYS))
+    for dfile, dkey, n_keys in _accepted_deletes(out_dir, as_of):
+        if not os.path.exists(dfile):
+            # time travel between a delete and its purge after vacuum
+            # removed the cleared delete file: fail with the same loud
+            # error the missing-chunk-dir case raises, not a raw Spark
+            # path-not-found
+            raise ValueError(
+                f"time travel to {as_of!r} needs delete file "
+                f"{os.path.basename(dfile)!r}, which was removed "
+                "(vacuumed/expired)"
+            )
         if dkey not in result.columns:
             raise ValueError(
                 f"equality-delete file {dfile!r} tombstones on column "
@@ -1129,7 +1187,11 @@ def _apply_evolution_and_deletes(
                 "so merge-on-read can apply (or purge deletes first)"
             )
         tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
-        result = result.join(F.broadcast(tomb), dkey, "left_anti")
+        if n_keys > bcast_max:
+            tomb = tomb.hint("shuffle_hash")
+        else:
+            tomb = F.broadcast(tomb)
+        result = result.join(tomb, dkey, "left_anti")
     return result
 
 

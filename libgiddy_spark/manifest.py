@@ -255,8 +255,11 @@ class Manifest:
             rescued.extend(self._chunk_summary_lines(parts, upto))
         for e in span:
             if e.get("kind") in self._INDEXED_KINDS:
-                slim = {k: v for k, v in e.items()
-                        if k not in ("files", "ts")}                     if e.get("kind") == "snapshot" else dict(e)
+                if e.get("kind") == "snapshot":
+                    slim = {k: v for k, v in e.items()
+                            if k not in ("files", "ts")}
+                else:
+                    slim = dict(e)
                 slim["mend"] = upto
                 rescued.append(slim)
         self._index_write(rescued)
@@ -422,11 +425,9 @@ class Manifest:
                     else:
                         entries.append(e)
                 return entries
-            if offset:
-                # offset always lands on a line boundary (mend is the
-                # file size right after a flushed append), but guard
-                # against a concurrent torn write all the same
-                pass
+            # offset always lands on a line boundary (mend is the file
+            # size right after a flushed append); json.JSONDecodeError
+            # below skips any torn concurrent write
             for line in f:
                 line = line.strip()
                 if not line:

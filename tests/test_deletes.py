@@ -58,6 +58,32 @@ def test_delete_on_unprojected_key_raises(spark, tmp_path):
         decode_blocks(spark, out, proj).count()
 
 
+def test_large_delete_set_shuffles_not_broadcasts(spark, tmp_path):
+    """Past LGS_DELETE_BROADCAST_MAX_KEYS the tombstone anti-join must
+    NOT broadcast (a GDPR-scale purge wave would OOM the driver and
+    every executor) — the plan shifts to a shuffled hash anti-join,
+    rows stay exact (VERDICT r4 #3)."""
+    src, out, schema = _encode_docs(spark, tmp_path)
+    gone = [3, 77, 200, 404]
+    delete_rows(out, "doc_id", gone)
+    os.environ["LGS_DELETE_BROADCAST_MAX_KEYS"] = "2"
+    try:
+        dec = decode_blocks(spark, out, schema)
+        plan = dec._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert dec.count() == 500 - len(gone)
+        assert dec.filter(F.col("doc_id").isin(gone)).count() == 0
+        srcdf = spark.read.parquet(src).filter(~F.col("doc_id").isin(gone))
+        assert verify_roundtrip(srcdf, dec, "doc_id")["ok"]
+        # below the threshold the broadcast path is kept
+        os.environ["LGS_DELETE_BROADCAST_MAX_KEYS"] = "1000000"
+        plan_small = decode_blocks(spark, out, schema)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan_small, plan_small
+    finally:
+        del os.environ["LGS_DELETE_BROADCAST_MAX_KEYS"]
+
+
 def test_purge_materializes_and_vacuum_expires(spark, tmp_path):
     src, out, schema = _encode_docs(spark, tmp_path)
     pre_snap = [e["snapshot_id"] for e in Manifest(out).read()
@@ -85,6 +111,70 @@ def test_purge_materializes_and_vacuum_expires(spark, tmp_path):
     assert decode_blocks(spark, out, schema).count() == 500 - len(gone)
     with pytest.raises(ValueError):
         decode_blocks(spark, out, schema, as_of=pre_snap).count()
+
+
+def test_time_travel_to_vacuumed_delete_raises_clearly(spark, tmp_path):
+    """Time travel to the delete snapshot (between delete and purge)
+    after vacuum removed the cleared delete file must raise the same
+    explicit vacuumed/expired ValueError as the missing-chunk-dir case,
+    not a raw Spark path-not-found."""
+    src, out, schema = _encode_docs(spark, tmp_path)
+    d = delete_rows(out, "doc_id", [1, 2, 3])
+    purge_deletes(spark, out, schema, key_col="doc_id")
+    vacuum_blocks(out)
+    with pytest.raises(ValueError, match="vacuumed/expired"):
+        decode_blocks(spark, out, schema, as_of=d["snapshot_id"]).count()
+
+
+def test_vacuum_expires_orphaned_staged_purge(spark, tmp_path):
+    """A purge that crashed after its staged encode (simulated: a
+    staged encode_files with no promoting txn) leaves staged part
+    entries + chunk dirs. vacuum_blocks sweeps the dirs and marks the
+    snapshot expired in one staged_expire line; reads never change."""
+    from libgiddy_spark.engine import encode_files
+    from libgiddy_spark.table_io import list_parquet_files
+
+    src, out, schema = _encode_docs(spark, tmp_path)
+    # simulate the crashed purge's staged encode: different source dir
+    # (like _purge_src) so parts are new registry entries
+    src2 = str(tmp_path / "crashed_purge_src")
+    spark.read.parquet(src).filter(F.col("doc_id") < 100).coalesce(
+        1).write.parquet(src2)
+    summary = encode_files(spark, src2, list_parquet_files(src2), out,
+                           "doc_id", commit_status="staged")
+    staged_dirs = {
+        e["chunk_dir"] for e in Manifest(out).read()
+        if e.get("kind") == "part" and e.get("status") == "staged"
+        and e.get("chunk_dir")
+    }
+    assert staged_dirs
+    assert decode_blocks(spark, out, schema).count() == 500  # invisible
+    vac = vacuum_blocks(out)
+    assert summary["snapshot_id"] in vac["expired_staged"]
+    for d in staged_dirs:
+        assert not os.path.isdir(os.path.join(out, "blocks", d))
+    assert any(e.get("kind") == "staged_expire"
+               for e in Manifest(out).read())
+    assert decode_blocks(spark, out, schema).count() == 500
+    # idempotent: a second vacuum does not re-mark
+    assert vacuum_blocks(out)["expired_staged"] == []
+
+
+def test_blocks_df_empty_when_nothing_committed(spark, tmp_path):
+    """blocks_df must honour its LIVE-at-HEAD contract when the
+    committed listing is empty (crashed first encode): empty frame,
+    never a raw directory scan that could surface staged files."""
+    from libgiddy_spark.engine import blocks_df
+
+    out = str(tmp_path / "empty_tbl")
+    os.makedirs(os.path.join(out, "blocks", "stray"))
+    # a stray uncommitted block file must stay invisible
+    spark.range(1).select(
+        F.lit(1).alias("part_id")).write.parquet(
+        os.path.join(out, "blocks", "stray", "junk"))
+    bdf = blocks_df(spark, out)
+    assert bdf.count() == 0
+    assert "payload" in bdf.columns
 
 
 def test_delete_then_append_still_tombstoned(spark, tmp_path):
