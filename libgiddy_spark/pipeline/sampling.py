@@ -74,11 +74,20 @@ def mix_report(
     # single-pass aggregation (no total-vs-kept join, which would drop a
     # NULL stratum's kept count — null keys never join)
     kept_flag = F.when(bucket < rate, 1).otherwise(0)
+    # max(rate) + a min==max guard, not first(rate): the rate is
+    # stratum-derived today, but if someone adds a non-key-derived term
+    # later, first() would silently return an arbitrary row's value —
+    # raise_error makes the mixed stratum loud instead
+    rate_agg = F.when(
+        F.min(rate) == F.max(rate), F.max(rate)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("mix_report: non-constant rate within stratum "),
+        F.min(F.col(strata_col)).cast("string"))))
     return (
         df.groupBy(strata_col)
         .agg(
             F.count("*").alias("n_input"),
             F.sum(kept_flag).cast("long").alias("n_kept"),
-            F.first(rate).cast("int").alias("rate_per_mille"),
+            rate_agg.cast("int").alias("rate_per_mille"),
         )
     )

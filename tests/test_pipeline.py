@@ -525,6 +525,27 @@ def test_stratified_sample_stable_under_append(spark):
     assert en > de
 
 
+def test_mix_report_raises_on_nonconstant_rate(spark, monkeypatch):
+    """mix_report's rate column must be provably constant per stratum:
+    a (hypothetical future) row-derived rate raises instead of
+    silently reporting an arbitrary row's value."""
+    import pytest
+
+    from libgiddy_spark.pipeline import sampling
+
+    rows = [(i, "en") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # sane path first: constant rate per stratum reports fine
+    ok = sampling.mix_report(df, rates={"en": 500}).collect()
+    assert ok[0]["rate_per_mille"] == 500
+    monkeypatch.setattr(
+        sampling, "_rate_expr",
+        lambda strata_col, rates, default_rate: (F.col("doc_id") % 2) * 100,
+    )
+    with pytest.raises(Exception, match="non-constant rate"):
+        sampling.mix_report(df, rates={"en": 500}).collect()
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     from libgiddy_spark.pipeline import tfidf_top_terms
 
