@@ -50,6 +50,51 @@ def q_roundtrip_documents(spark, sf_dir):
                ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def q_table_changes(spark, sf_dir):
+    """Iceberg-style incremental/CDC read (engine.read_changes) driven
+    purely by the manifest's append-only history: encode documents with
+    doc_id<250 (S1), append the rest (S2), equality-delete doc_id%50==0
+    (S3), then read the changelog since S1 — the appended rows as
+    inserts at _commit_seq 1 and the tombstoned rows as FULL delete
+    rows at _commit_seq 2 (Iceberg changelog-view shape)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import (
+        delete_rows,
+        encode_snapshot,
+        read_changes,
+    )
+    from libgiddy_spark.manifest import Manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="lgs_cdc_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "enc")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    s1 = [e["snapshot_id"] for e in Manifest(out).read()
+          if e.get("kind") == "snapshot"][-1]
+    stage = os.path.join(work, "stageB")
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "zz_b.parquet"))
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    keys = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id").collect()
+    )
+    delete_rows(out, "doc_id", keys)
+    schema = pq.read_schema(f"{sf_dir}/documents.parquet")
+    return read_changes(spark, out, schema, s1)
+
+
 def q_roundtrip_multicodec_docs(spark, sf_dir):
     """Stacked per-column forced codecs over documents — FSST symbol
     table (text), dictionary (lang), RLE (source), RPE run-position
@@ -803,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_audio": q_multimodal_decode_audio,
         "multimodal_resize_image": q_multimodal_resize_image,
         "multimodal_audio_frames": q_multimodal_audio_frames,
+        "table_changes": q_table_changes,
         "roundtrip_multicodec_docs": q_roundtrip_multicodec_docs,
         "roundtrip_multicodec_keys": q_roundtrip_multicodec_keys,
         "roundtrip_multicodec_ts": q_roundtrip_multicodec_ts,
@@ -854,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "table_changes":
+            "SELECT doc_id, text, lang, source, n_chars, "
+            "'insert' AS _change_type, CAST(1 AS INT) AS _commit_seq "
+            "FROM documents WHERE doc_id >= 250 "
+            "UNION ALL "
+            "SELECT doc_id, text, lang, source, n_chars, "
+            "'delete' AS _change_type, CAST(2 AS INT) AS _commit_seq "
+            "FROM documents WHERE doc_id % 50 = 0",
         "roundtrip_multicodec_docs":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_multicodec_keys":

@@ -1031,6 +1031,126 @@ def purge_deletes(
     }
 
 
+def read_changes(
+    spark: SparkSession,
+    out_dir: str,
+    schema: pa.Schema,
+    since_snapshot: str | None,
+    to_snapshot: str | None = None,
+) -> DataFrame:
+    """Iceberg-style incremental / CDC read: the LOGICAL row changes
+    committed strictly after ``since_snapshot`` (None = since table
+    creation) up to ``to_snapshot`` (None = HEAD), as the table columns
+    plus ``_change_type`` ('insert' | 'delete') and ``_commit_seq``
+    (1-based position of the committing snapshot within the window).
+
+    Everything derives from the manifest's append-only history — no
+    data diffing:
+
+    - INSERTS: part entries committed by window snapshots, decoded
+      shuffle-free with the part-id filter, ``as_of`` their own
+      snapshot (so earlier global tombstones apply exactly as a reader
+      at that snapshot saw them).
+    - DELETES: equality-delete entries in the window, emitted as FULL
+      rows — the live rows at the delete's parent snapshot matching
+      the tombstoned keys (the Iceberg changelog-view shape). Key
+      lists past DELETE_BROADCAST_MAX_KEYS join shuffled, same guard
+      as decode.
+    - Storage maintenance is invisible by construction: compaction
+      rewrites add no part entries, purge rewrites promote re-encoded
+      parts under a retire-style rewrite snapshot (``new_chunk=None``)
+      which is excluded here, vacuum only removes expired files (a
+      changelog window whose files were vacuumed raises the same
+      loud expired error as time travel).
+
+    A row inserted and later deleted inside the window yields BOTH
+    entries (a strict changelog, not a net diff) — consumers fold by
+    (key, max _commit_seq) when they want net state."""
+    m = Manifest(out_dir)
+    entries = m.read()
+    snaps: list[str] = []
+    for e in entries:
+        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
+            snaps.append(e["snapshot_id"])
+    if not snaps:
+        raise ValueError(f"no snapshots in {out_dir}")
+    if to_snapshot is None:
+        to_snapshot = snaps[-1]
+    if to_snapshot not in snaps:
+        raise ValueError(f"unknown to_snapshot {to_snapshot!r}")
+    i1 = snaps.index(to_snapshot)
+    if since_snapshot is None:
+        window = snaps[: i1 + 1]
+    else:
+        if since_snapshot not in snaps:
+            raise ValueError(f"unknown since_snapshot {since_snapshot!r}")
+        i0 = snaps.index(since_snapshot)
+        if i1 < i0:
+            raise ValueError(
+                f"to_snapshot {to_snapshot!r} precedes since_snapshot "
+                f"{since_snapshot!r}")
+        window = snaps[i0 + 1 : i1 + 1]
+    seq_of = {s: i + 1 for i, s in enumerate(window)}
+    purge_snaps = {
+        e.get("snapshot_id") for e in entries
+        if e.get("kind") == "rewrite" and e.get("new_chunk") is None
+    }
+    tcols = [f.name for f in schema]
+    ddl = ", ".join(
+        [f"`{f.name}` {_spark_type_of(f.type)}" for f in schema]
+        + ["`_change_type` string", "`_commit_seq` int"]
+    )
+    parts_by_snap: dict[str, set[int]] = {}
+    for e in entries:
+        if (e.get("kind") == "part" and e.get("status") == "done"
+                and e.get("snapshot_id") in seq_of
+                and e.get("snapshot_id") not in purge_snaps
+                and not e.get("empty")):
+            parts_by_snap.setdefault(
+                e["snapshot_id"], set()).add(int(e["part_id"]))
+    pieces: list[DataFrame] = []
+    for s in window:
+        pids = parts_by_snap.get(s)
+        if pids:
+            ins = decode_blocks(
+                spark, out_dir, schema, part_ids=sorted(pids), as_of=s)
+            pieces.append(
+                ins.select(*tcols)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_seq",
+                            F.lit(seq_of[s]).cast("int")))
+    bcast_max = int(os.environ.get(
+        "LGS_DELETE_BROADCAST_MAX_KEYS", DELETE_BROADCAST_MAX_KEYS))
+    for e in entries:
+        if e.get("kind") != "delete" or e.get("snapshot_id") not in seq_of:
+            continue
+        dfile = os.path.join(out_dir, e["file"])
+        if not os.path.exists(dfile):
+            raise ValueError(
+                f"changelog window needs delete file {e['file']!r}, "
+                "which was removed (vacuumed/expired)")
+        parent = snaps[snaps.index(e["snapshot_id"]) - 1]
+        keys = spark.read.parquet(dfile).select(
+            F.col(e["key_col"])).distinct()
+        if int(e.get("n", 0)) > bcast_max:
+            keys = keys.hint("shuffle_hash")
+        else:
+            keys = F.broadcast(keys)
+        rows = decode_blocks(spark, out_dir, schema, as_of=parent)
+        pieces.append(
+            rows.join(keys, e["key_col"], "left_semi")
+            .select(*tcols)
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_seq",
+                        F.lit(seq_of[e["snapshot_id"]]).cast("int")))
+    if not pieces:
+        return spark.createDataFrame([], ddl)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _evolution_null_parts(
     out_dir: str,
     wanted_cols: set[str],
