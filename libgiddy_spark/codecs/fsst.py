@@ -374,8 +374,22 @@ def train(sample: np.ndarray, generations: int = 5) -> SymbolTable:
     """Train a symbol table on a byte sample (uint8 array), BPE-style.
 
     Deterministic: ties broken by (gain desc, value asc, len asc).
+
+    The trainer sees a SPREAD sample: 512-byte chunks strided evenly
+    across the whole input, 32 KiB total (the FSST paper's sampling
+    shape). Versus the old 256 KiB head cap this is ~7x cheaper per
+    training — the dominant fixed cost of encoding small columns and
+    of the per-part plan job — and measured within +-1% compression
+    ratio on webtext url/text/html (url improves: the head
+    oversampled early rows). Chunk seams add <1 fake adjacency per
+    512 real ones, noise at counting granularity.
     """
-    sample = sample[: 1 << 18]  # cap 256 KiB for training cost
+    total, chunk_b = 1 << 15, 512
+    if len(sample) > total:
+        k = total // chunk_b
+        starts = (np.arange(k, dtype=np.int64)
+                  * (len(sample) - chunk_b)) // max(k - 1, 1)
+        sample = np.concatenate([sample[s:s + chunk_b] for s in starts])
     if len(sample) == 0:
         return SymbolTable([])
     # split into many lanes so the lock-step encoder stays parallel; the
