@@ -195,6 +195,60 @@ void bit_lengths64(const uint64_t* v, long n, uint8_t* out)
     for (long i = 0; i < n; i++)
         out[i] = v[i] ? (uint8_t)(64 - __builtin_clzll(v[i])) : 0;
 }
+
+/* Fused delta pre-pass: zigzagged wrapping diffs with per-segment
+   anchors zeroed, plus the bit-length histogram of the result — ONE
+   read of `u` and one write of `zz` replace the numpy diff + zigzag +
+   bit_lengths + bincount chain (4 extra full-column passes of memory
+   traffic, the round-4 verdict's np.diff hotspot). hist must be 65
+   zeroed int64 slots. */
+void delta_zigzag_hist64(
+    const uint64_t* u, long n, long seg_len, uint64_t* zz, int64_t* hist)
+{
+    uint64_t prev = 0;
+    for (long i = 0; i < n; i++) {
+        uint64_t d = (i % seg_len == 0) ? 0 : u[i] - prev;
+        prev = u[i];
+        /* zigzag: (d<<1)^(d>>63) with the left shift done unsigned
+           (wrapping, like numpy) and the sign-mask shift arithmetic */
+        uint64_t z = (d << 1) ^ (uint64_t)(((int64_t)d) >> 63);
+        zz[i] = z;
+        hist[z ? 64 - __builtin_clzll(z) : 0]++;
+    }
+}
+
+/* Fused PFOR pack: bit-pack (bl<=w ? v : 0) at width w while
+   collecting the exceptions (ascending positions + original values) —
+   one read of `v` replaces numpy's where/flatnonzero/mask passes plus
+   the separate pack pass. `out` zeroed with 1 slack word; returns the
+   exception count (caller sized the arrays from the histogram). */
+long pack_exc64(
+    const uint64_t* v, long n, long w,
+    uint64_t* out, int64_t* exc_pos, uint64_t* exc_val)
+{
+    const uint64_t lim = (w >= 64) ? 0xFFFFFFFFFFFFFFFFULL
+                                   : ((1ULL << w) - 1);
+    long ne = 0;
+    long bitpos = 0;
+    for (long i = 0; i < n; i++) {
+        uint64_t x = v[i];
+        if (x > lim) {
+            exc_pos[ne] = i;
+            exc_val[ne] = x;
+            ne++;
+            x = 0;
+        }
+        if (w) {
+            const long wi = bitpos >> 6;
+            const long off = bitpos & 63;
+            out[wi] |= x << off;
+            if (off + w > 64)
+                out[wi + 1] |= x >> (64 - off);
+            bitpos += w;
+        }
+    }
+    return ne;
+}
 """
 
 _lib = None
@@ -275,5 +329,11 @@ def native_lib():
     lib.unpack_bits64.argtypes = [u64p, ctypes.c_long, ctypes.c_long, u64p]
     lib.bit_lengths64.restype = None
     lib.bit_lengths64.argtypes = [u64p, ctypes.c_long, u8p]
+    lib.delta_zigzag_hist64.restype = None
+    lib.delta_zigzag_hist64.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_long, u64p, i64p]
+    lib.pack_exc64.restype = ctypes.c_long
+    lib.pack_exc64.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_long, u64p, i64p, u64p]
     _lib = lib
     return _lib

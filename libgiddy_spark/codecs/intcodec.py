@@ -88,8 +88,20 @@ def choose_width(
         return 0, 0
     if bl is None:
         bl = bit_lengths(offsets_u64)
-    max_w = int(bl.max())
-    counts = np.bincount(bl, minlength=max_w + 1)
+    counts = np.bincount(bl, minlength=1).astype(np.int64)
+    return choose_width_from_counts(counts, n, pos_bits)
+
+
+def choose_width_from_counts(
+    counts: np.ndarray, n: int, pos_bits: int
+) -> tuple[int, int]:
+    """``choose_width`` from a bit-length histogram (the fused C
+    pre-pass emits one, so no per-value array is needed)."""
+    if n == 0:
+        return 0, 0
+    nz = np.flatnonzero(counts)
+    max_w = int(nz[-1]) if len(nz) else 0
+    counts = counts[: max_w + 1]
     # exceptions(w) = # values with bit_length > w
     exc = np.cumsum(counts[::-1])[::-1]  # exc[w] = count(bl >= w)
     n_exc = np.zeros(max_w + 1, dtype=np.int64)
@@ -98,6 +110,25 @@ def choose_width(
     cost = n * widths + n_exc * (pos_bits + max_w)
     w = int(widths[np.argmin(cost)])
     return w, max_w
+
+
+def _pack_exc_native(
+    vals: np.ndarray, n: int, w: int, n_exc: int, lib
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """(packed base bytes, exc_pos u64, exc_val u64) via the fused C
+    PFOR pack — one read of ``vals`` replaces numpy's mask / where /
+    flatnonzero passes plus the separate pack pass."""
+    nwords = (n * w + 63) // 64 if w else 0
+    outw = np.zeros(nwords + 1, dtype=np.uint64)
+    exc_pos = np.empty(n_exc, dtype=np.int64)
+    exc_val = np.empty(n_exc, dtype=np.uint64)
+    ne = lib.pack_exc64(
+        np.ascontiguousarray(vals, dtype=np.uint64), n, w,
+        outw, exc_pos, exc_val)
+    assert ne == n_exc, (ne, n_exc)
+    # byte-for-byte the pack_bits convention: trim to ceil(bits/8)
+    packed = outw.tobytes()[: (n * w + 7) // 8] if (w and n) else b""
+    return packed, exc_pos.astype(np.uint64), exc_val
 
 
 def encode_bitpack(x: np.ndarray, dt: int | None = None) -> bytes:
@@ -136,16 +167,26 @@ def _for_sections(
     offsets = u - np.repeat(refs_u, seg_sizes)  # modular; always "non-negative"
     pos_bits = width_of(max(n - 1, 0))
     bl = bit_lengths(offsets)
-    w, exc_w = choose_width(offsets, pos_bits, bl=bl)
-    exc_mask = bl > w
-    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
-    exc_val = offsets[exc_mask]
-    base = np.where(exc_mask, _U64(0), offsets)
+    counts = np.bincount(bl, minlength=1).astype(np.int64)
+    w, exc_w = choose_width_from_counts(counts, n, pos_bits)
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None:
+        n_exc = int(counts[w + 1:].sum())
+        base_packed, exc_pos, exc_val = _pack_exc_native(
+            offsets, n, w, n_exc, lib)
+    else:
+        exc_mask = bl > w
+        exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+        exc_val = offsets[exc_mask]
+        base = np.where(exc_mask, _U64(0), offsets)
+        base_packed = pack_bits(base, w)
     params = struct.pack("<IBQBB", seg_len, w, len(exc_pos), pos_bits, exc_w)
     return [
         params,
         refs_u.tobytes(),
-        pack_bits(base, w),
+        base_packed,
         pack_bits(exc_pos, pos_bits),
         pack_bits(exc_val, exc_w),
     ]
@@ -190,13 +231,43 @@ def encode_delta(
     nseg = (n + seg_len - 1) // seg_len
     starts = np.arange(nseg) * seg_len
     anchors = u[starts] if n else np.zeros(0, dtype=np.uint64)
+    params = struct.pack("<I", seg_len)
+    from ._native import native_lib
+
+    lib = native_lib()
+    if lib is not None and n:
+        # FUSED pre-pass (VERDICT r4 #5, the np.diff memory hotspot):
+        # one C read of u emits the anchor-zeroed zigzag deltas AND
+        # their bit-length histogram; one more read packs them with
+        # exceptions. Replaces the numpy diff + zigzag + subtract +
+        # bit_lengths + bincount + where + pack chain (~7 full-column
+        # passes -> 2). Stream is bit-identical to the numpy path
+        # (tests assert): the inner FoR has one segment whose ref is
+        # always 0 because zz[0] = 0 by the anchor rule.
+        zz = np.empty(n, dtype=np.uint64)
+        hist = np.zeros(65, dtype=np.int64)
+        lib.delta_zigzag_hist64(
+            np.ascontiguousarray(u), n, seg_len, zz, hist)
+        pos_bits = width_of(n - 1)
+        w, exc_w = choose_width_from_counts(hist, n, pos_bits)
+        n_exc = int(hist[w + 1:].sum())
+        base_packed, exc_pos, exc_val = _pack_exc_native(
+            zz, n, w, n_exc, lib)
+        inner = [
+            struct.pack("<IBQBB", max(n, 1), w, n_exc, pos_bits, exc_w),
+            np.zeros(1, dtype=np.uint64).tobytes(),  # single ref = 0
+            base_packed,
+            pack_bits(exc_pos, pos_bits),
+            pack_bits(exc_val, exc_w),
+        ]
+        return H.pack_block(H.DELTA, dt, n,
+                            [params, anchors.tobytes(), *inner])
     d = np.zeros(n, dtype=np.uint64)
     if n > 1:
         d[1:] = u[1:] - u[:-1]  # modular uint64 diff == wrapping int64 diff
     if n:
         d[starts] = 0  # anchor positions carry no delta
     zz = zigzag(d.view(np.int64))
-    params = struct.pack("<I", seg_len)
     # delta inlines the FoR sections for its zigzag deltas (no nested
     # header). One inner segment: zz[anchor]=0 makes every per-segment min
     # 0, so per-segment refs would be dead weight; patching still handles

@@ -171,3 +171,45 @@ def test_bitpack_native_numpy_parity(rng):
     finally:
         N._lib, N._tried = saved
     assert np.array_equal(bl_c, bl_np)
+
+
+def test_delta_for_fused_native_stream_identity(rng):
+    """The fused C delta pre-pass (delta_zigzag_hist64 + pack_exc64)
+    and the C _for_sections pack must produce byte-identical block
+    streams to the numpy path — negatives, outliers, anchors, widths
+    0 and 64, short and unaligned lengths."""
+    import numpy as np
+    import pytest
+
+    import libgiddy_spark.codecs._native as N
+    from libgiddy_spark.codecs import intcodec as ic
+
+    if N.native_lib() is None:
+        pytest.skip("no C compiler on host")
+    cases = [
+        np.cumsum(rng.integers(0, 800_000, 10_001)).astype(np.int64),
+        rng.integers(-(1 << 40), 1 << 40, 4093),
+        np.zeros(5000, np.int64),
+        np.arange(7),
+        np.array([5], np.int64),
+        np.array([], np.int64),
+        np.where(rng.random(9000) < 0.01,
+                 rng.integers(0, 1 << 62, 9000),
+                 rng.integers(0, 1000, 9000)),  # PFOR outliers
+        np.full(3000, -(1 << 63), np.int64),  # width-64 extremes
+    ]
+    for x in cases:
+        for enc in (ic.encode_delta, ic.encode_for, ic.encode_bitpack):
+            if enc is ic.encode_bitpack and (len(x) and x.min() < 0):
+                continue
+            b_c = enc(x)
+            saved = N._lib, N._tried
+            N._lib, N._tried = None, True
+            try:
+                b_np = enc(x)
+            finally:
+                N._lib, N._tried = saved
+            assert b_c == b_np, (enc.__name__, len(x))
+            from libgiddy_spark.codecs import decode_payload_numpy
+            out = decode_payload_numpy(b_c)
+            assert np.array_equal(out, x), (enc.__name__, len(x))
