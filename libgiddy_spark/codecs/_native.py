@@ -196,6 +196,32 @@ void bit_lengths64(const uint64_t* v, long n, uint8_t* out)
         out[i] = v[i] ? (uint8_t)(64 - __builtin_clzll(v[i])) : 0;
 }
 
+/* Row gather over a string column (dict/RLE decode), two fused
+   passes: output offsets, then one memcpy per row. The numpy
+   formulation ran two int64 fancy-gathers + a cumsum over the rows
+   and then materialized THREE int64 index arrays of one entry per
+   OUTPUT BYTE (~24x write amplification) — the dict-decode hotspot
+   for short strings. */
+void take_offsets(const int64_t* offs, const int64_t* idx, long n,
+                  int64_t* out_offs)
+{
+    int64_t acc = 0;
+    for (long i = 0; i < n; i++) {
+        out_offs[i] = acc;
+        acc += offs[idx[i] + 1] - offs[idx[i]];
+    }
+    out_offs[n] = acc;
+}
+
+void gather_str_idx(const int64_t* offs, const uint8_t* data,
+                    const int64_t* idx, const int64_t* out_offs,
+                    long n, uint8_t* out)
+{
+    for (long i = 0; i < n; i++)
+        memcpy(out + out_offs[i], data + offs[idx[i]],
+               (size_t)(out_offs[i + 1] - out_offs[i]));
+}
+
 /* Fused delta pre-pass: zigzagged wrapping diffs with per-segment
    anchors zeroed, plus the bit-length histogram of the result — ONE
    read of `u` and one write of `zz` replace the numpy diff + zigzag +
@@ -329,6 +355,11 @@ def native_lib():
     lib.unpack_bits64.argtypes = [u64p, ctypes.c_long, ctypes.c_long, u64p]
     lib.bit_lengths64.restype = None
     lib.bit_lengths64.argtypes = [u64p, ctypes.c_long, u8p]
+    lib.take_offsets.restype = None
+    lib.take_offsets.argtypes = [i64p, i64p, ctypes.c_long, i64p]
+    lib.gather_str_idx.restype = None
+    lib.gather_str_idx.argtypes = [
+        i64p, u8p, i64p, i64p, ctypes.c_long, u8p]
     lib.delta_zigzag_hist64.restype = None
     lib.delta_zigzag_hist64.argtypes = [
         u64p, ctypes.c_long, ctypes.c_long, u64p, i64p]

@@ -34,7 +34,22 @@ class StrCol:
         return np.diff(self.offsets)
 
     def take(self, idx: np.ndarray) -> "StrCol":
-        """Gather rows by index (vectorized; used by dict/RLE decode)."""
+        """Gather rows by index (used by dict/RLE decode)."""
+        from ._native import native_lib
+
+        lib = native_lib()
+        if lib is not None:
+            # two fused C passes (offsets, then one memcpy per row) —
+            # the numpy fallback below builds three int64 index arrays
+            # of one entry per output BYTE
+            idx64 = np.ascontiguousarray(idx, dtype=np.int64)
+            offs_c = np.ascontiguousarray(self.offsets)
+            out_offs = np.empty(len(idx64) + 1, dtype=np.int64)
+            lib.take_offsets(offs_c, idx64, len(idx64), out_offs)
+            out = np.empty(int(out_offs[-1]), dtype=np.uint8)
+            lib.gather_str_idx(offs_c, np.ascontiguousarray(self.data),
+                               idx64, out_offs, len(idx64), out)
+            return StrCol(out_offs, out)
         lens = self.lengths()[idx]
         offs = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])

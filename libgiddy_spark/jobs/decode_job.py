@@ -40,7 +40,19 @@ def main() -> None:
                     help="column projection: decode only these columns "
                          "(payload bytes of others are skipped at the "
                          "row-group level)")
+    ap.add_argument("--changes-since", default=None, metavar="SNAPSHOT_ID",
+                    help="incremental/CDC read: emit the changelog of "
+                         "logical row changes committed after this "
+                         "snapshot ('origin' = since table creation) "
+                         "with _change_type + _commit_seq, instead of "
+                         "a full decode")
+    ap.add_argument("--changes-to", default=None, metavar="SNAPSHOT_ID",
+                    help="changelog upper bound (default HEAD)")
     args = ap.parse_args()
+    if args.changes_since is not None and (
+            args.verify or args.key_range or args.key_point is not None
+            or args.as_of):
+        ap.error("--changes-since composes only with --columns/--out")
 
     import pyarrow.parquet as pq
 
@@ -70,14 +82,30 @@ def main() -> None:
         import pyarrow as pa_mod
 
         schema = pa_mod.schema([schema.field(c) for c in proj])
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    if args.changes_since is not None:
+        from libgiddy_spark.engine import read_changes
+
+        since = None if args.changes_since == "origin" \
+            else args.changes_since
+        ch = read_changes(spark, args.encoded, schema, since,
+                          args.changes_to)
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+        counts = {r["_change_type"]: r["n"] for r in ch.groupBy(
+            "_change_type").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({"inserts": counts.get("insert", 0),
+                          "deletes": counts.get("delete", 0)}))
+        return
+
     # probe types follow the KEY COLUMN's schema, not what the text
     # happens to parse as: '0123' against a string key must stay the
     # literal string (an int would implicit-cast-match '123'), and a
     # timestamp key needs a typed literal for the row-level predicate
     # (comparing timestamp == bigint is an AnalysisException).
-    import pyarrow as pa
-
-    from pyspark.sql import functions as F
 
     ktype = full_schema.field(args.key_col).type
     is_ts = pa.types.is_timestamp(ktype)

@@ -63,3 +63,49 @@ def test_cli_string_key_range(spark, tmp_path, monkeypatch, capsys):
                            "--key-range", f"{lo},{hi}", "--verify"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] and rep["rows_decoded"] == n_exp
+
+
+def test_cli_changes_since(spark, tmp_path, monkeypatch, capsys):
+    """--changes-since emits the changelog (insert/delete counts + an
+    optional parquet sink) through engine.read_changes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import delete_rows
+    from libgiddy_spark.manifest import Manifest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 300).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "enc_cdc")
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    s1 = [e["snapshot_id"] for e in Manifest(out).read()
+          if e.get("kind") == "snapshot"][-1]
+    stage = str(tmp_path / "stageB")
+    docs.filter(F.col("doc_id") >= 300).coalesce(1).write.parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "b.parquet"))
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    delete_rows(out, "doc_id", [0, 100, 400])
+    sink = str(tmp_path / "changes_pq")
+    _run_cli(monkeypatch, ["--encoded", out, "--source", src,
+                           "--key-col", "doc_id",
+                           "--changes-since", s1, "--out", sink])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"inserts": 200, "deletes": 3}
+    written = spark.read.parquet(sink)
+    assert written.count() == 203
+    assert set(written.columns) >= {"_change_type", "_commit_seq"}
+    # since origin: everything, minus nothing (deletes still 3)
+    _run_cli(monkeypatch, ["--encoded", out, "--source", src,
+                           "--key-col", "doc_id",
+                           "--changes-since", "origin"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"inserts": 500, "deletes": 3}
+    # guard: probes don't compose with the changelog
+    with pytest.raises(SystemExit):
+        _run_cli(monkeypatch, ["--encoded", out, "--source", src,
+                               "--key-col", "doc_id",
+                               "--changes-since", s1,
+                               "--key-point", "5"])
