@@ -614,13 +614,25 @@ def vacuum_blocks(out_dir: str) -> dict:
         live_dirs.add(os.path.relpath(f, blocks_root).split(os.sep)[0])
     removed = []
     m = Manifest(out_dir)
+    all_entries = m.read()
+    # NAMED REFS pin their snapshot's files (Iceberg branch
+    # retention): dirs and delete files a ref'd snapshot still needs
+    # survive vacuum; drop the ref to expire them on the next vacuum.
+    pinned_dirs: set[str] = set()
+    pinned_deletes: set[str] = set()
+    for _name, sid in sorted(list_refs(out_dir).items()):
+        pinned_dirs |= _dirs_needed_at(all_entries, sid)
+        pinned_deletes |= {
+            os.path.relpath(f, out_dir)
+            for f, _k, _n in _accepted_deletes(out_dir, sid)
+        }
     replaced: set[str] = set()
-    for e in m.read():
+    for e in all_entries:
         if e.get("kind") == "rewrite":
             replaced.update(e.get("replaces", ()))
     for d in sorted(replaced):
-        if d in live_dirs:
-            continue  # re-used dir name still live (shouldn't happen)
+        if d in live_dirs or d in pinned_dirs:
+            continue  # still live at HEAD, or pinned by a ref
         full = os.path.join(blocks_root, d)
         if os.path.isdir(full):
             shutil.rmtree(full)
@@ -628,10 +640,10 @@ def vacuum_blocks(out_dir: str) -> dict:
     # delete files already MATERIALIZED by a purge serve only time
     # travel — expire them with the dirs, same Iceberg-expire contract
     cleared: set[str] = set()
-    for e in m.read():
+    for e in all_entries:
         if e.get("kind") == "delete_clear":
             cleared.update(e.get("files", ()))
-    for rel in sorted(cleared):
+    for rel in sorted(cleared - pinned_deletes):
         full = os.path.join(out_dir, rel)
         if os.path.isfile(full):
             os.remove(full)
@@ -1031,6 +1043,92 @@ def purge_deletes(
     }
 
 
+def _manifest_entries(out_dir: str) -> list[dict]:
+    """Index + tail when available (O(chunks)), else full read."""
+    m = Manifest(out_dir)
+    idx = m.read_index()
+    if idx is not None:
+        return idx[0] + m.read_tail(idx[1])
+    return m.read()
+
+
+def list_refs(out_dir: str) -> dict[str, str]:
+    """Named refs (Iceberg branch/tag analogue): last entry per name
+    wins; dropped refs (snapshot_id None) disappear."""
+    refs: dict[str, str] = {}
+    for e in _manifest_entries(out_dir):
+        if e.get("kind") == "ref":
+            if e.get("snapshot_id") is None:
+                refs.pop(e["name"], None)
+            else:
+                refs[e["name"]] = e["snapshot_id"]
+    return refs
+
+
+def create_ref(out_dir: str, name: str,
+               snapshot_id: str | None = None) -> dict:
+    """Create/update a named ref to ``snapshot_id`` (None = current
+    HEAD snapshot). Refs resolve anywhere ``as_of`` is accepted
+    (decode, changelog, CLI) and PIN their snapshot's files against
+    vacuum — the Iceberg branch-retention behaviour."""
+    entries = _manifest_entries(out_dir)
+    snaps = [e["snapshot_id"] for e in entries
+             if e.get("kind") == "snapshot"]
+    if not snaps:
+        raise ValueError(f"no snapshots in {out_dir}")
+    if snapshot_id is None:
+        snapshot_id = snaps[-1]
+    elif snapshot_id not in snaps:
+        raise ValueError(f"unknown snapshot {snapshot_id!r}")
+    if name in snaps:
+        raise ValueError(
+            f"ref name {name!r} collides with a snapshot id")
+    Manifest(out_dir).append_ref(name, snapshot_id)
+    return {"name": name, "snapshot_id": snapshot_id}
+
+
+def drop_ref(out_dir: str, name: str) -> None:
+    if name not in list_refs(out_dir):
+        raise ValueError(f"unknown ref {name!r}")
+    Manifest(out_dir).append_ref(name, None)
+
+
+def _resolve_as_of(out_dir: str, as_of: str | None) -> str | None:
+    """Translate a ref name to its snapshot id; snapshot ids (and
+    None) pass through."""
+    if as_of is None:
+        return None
+    return list_refs(out_dir).get(as_of, as_of)
+
+
+def _dirs_needed_at(entries: list[dict], as_of: str) -> set[str]:
+    """Chunk dirs a read at snapshot ``as_of`` lists (rewrites applied)
+    — existence not required. Mirrors _committed_block_files' visibility
+    rules with all pruning filters off; used by vacuum to honour
+    ref-pinned snapshots."""
+    accepted: set[str] = set()
+    for e in entries:
+        if e.get("kind") == "snapshot":
+            accepted.add(e["snapshot_id"])
+            if e["snapshot_id"] == as_of:
+                break
+    dirs: set[str] = set()
+    for e in entries:
+        k = e.get("kind")
+        if (k in ("part", "chunk") and e.get("chunk_dir")
+                and e.get("status", "done") == "done"
+                and e.get("snapshot_id", as_of) in accepted):
+            dirs.add(e["chunk_dir"])
+    for e in entries:
+        if (e.get("kind") == "rewrite"
+                and e.get("snapshot_id") in accepted):
+            replaced = set(e.get("replaces", ())) & dirs
+            dirs -= replaced
+            if replaced and e.get("new_chunk"):
+                dirs.add(e["new_chunk"])
+    return dirs
+
+
 def read_changes(
     spark: SparkSession,
     out_dir: str,
@@ -1065,7 +1163,10 @@ def read_changes(
 
     A row inserted and later deleted inside the window yields BOTH
     entries (a strict changelog, not a net diff) — consumers fold by
-    (key, max _commit_seq) when they want net state."""
+    (key, max _commit_seq) when they want net state. Window bounds
+    also accept NAMED REFS (:func:`create_ref`)."""
+    since_snapshot = _resolve_as_of(out_dir, since_snapshot)
+    to_snapshot = _resolve_as_of(out_dir, to_snapshot)
     m = Manifest(out_dir)
     entries = m.read()
     snaps: list[str] = []
@@ -1365,7 +1466,9 @@ def decode_blocks(
     entirely. ``as_of`` = snapshot id for time travel (see
     :func:`_committed_block_files`). All pruning is block-granular and
     over-inclusive only — callers apply the exact row predicate on the
-    decoded frame."""
+    decoded frame. ``as_of`` also accepts a NAMED REF (branch/tag,
+    :func:`create_ref`), resolved to its snapshot here."""
+    as_of = _resolve_as_of(out_dir, as_of)
     probe_hash = probe_domain = None
     if key_point is not None:
         from . import bloom as bloom_mod

@@ -36,11 +36,34 @@ def main() -> None:
                          "table schema and --key-col")
     ap.add_argument("--source", default=None,
                     help="source snapshot (schema for --purge)")
+    ap.add_argument("--create-ref", default=None, metavar="NAME[@SNAP]",
+                    help="named ref (Iceberg branch/tag analogue): pin "
+                         "NAME to SNAP (default HEAD); refs resolve "
+                         "anywhere --as-of is accepted and protect "
+                         "their snapshot's files from --vacuum")
+    ap.add_argument("--drop-ref", default=None, metavar="NAME")
+    ap.add_argument("--list-refs", action="store_true")
     args = ap.parse_args()
-    if not (args.compact or args.vacuum or args.delete_keys or args.purge):
-        ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/--purge")
+    if not (args.compact or args.vacuum or args.delete_keys or args.purge
+            or args.create_ref or args.drop_ref or args.list_refs):
+        ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
+                 "--purge/--create-ref/--drop-ref/--list-refs")
 
     out: dict = {}
+    if args.create_ref:
+        from libgiddy_spark.engine import create_ref
+
+        name, _, snap = args.create_ref.partition("@")
+        out["create_ref"] = create_ref(args.encoded, name, snap or None)
+    if args.drop_ref:
+        from libgiddy_spark.engine import drop_ref
+
+        drop_ref(args.encoded, args.drop_ref)
+        out["drop_ref"] = args.drop_ref
+    if args.list_refs:
+        from libgiddy_spark.engine import list_refs
+
+        out["refs"] = list_refs(args.encoded)
     if args.delete_keys:
         import os as _os
 

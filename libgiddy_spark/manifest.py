@@ -234,7 +234,8 @@ class Manifest:
             )
         return lines
 
-    _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear")
+    _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear",
+                      "ref")
 
     def _heal_index(self, upto: int) -> None:
         """Rescue manifest entries in [last index mend, upto) that never
@@ -347,6 +348,23 @@ class Manifest:
             "file": rel_file,
             "key_col": key_col,
             "n": int(n),
+            "ts": time.time(),
+        }
+        pre = self._msize()
+        self.append([entry])
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
+
+    def append_ref(self, name: str, snapshot_id: str | None) -> None:
+        """Record a NAMED REF (Iceberg branch/tag analogue) pointing at
+        ``snapshot_id`` (None = drop the ref). Append-only: the LAST
+        entry per name wins. Indexed so index-tail readers resolve refs
+        without a full manifest read."""
+        entry = {
+            "kind": "ref",
+            "name": name,
+            "snapshot_id": snapshot_id,
             "ts": time.time(),
         }
         pre = self._msize()
