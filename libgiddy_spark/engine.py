@@ -600,12 +600,25 @@ def compact_blocks(
     }
 
 
-def vacuum_blocks(out_dir: str) -> dict:
+def vacuum_blocks(
+    out_dir: str,
+    retain_last: int = 1,
+    older_than: float | None = None,
+) -> dict:
     """Physically remove chunk dirs no longer LIVE at HEAD (replaced by
     compaction rewrites) — Iceberg's expire-snapshots/delete-orphans
     step. After vacuum, time travel to snapshots that needed the removed
     dirs raises a clear error instead of silently losing rows. Assumes
-    the engine's single-writer model (no encode in flight)."""
+    the engine's single-writer model (no encode in flight).
+
+    Retention (Iceberg ``expire_snapshots`` analogue): a snapshot is
+    RETAINED — its files survive vacuum, time travel to it keeps
+    working — if it is within the newest ``retain_last`` snapshot
+    headers (default 1 = HEAD only, the historical behaviour), OR its
+    commit timestamp is >= ``older_than`` (i.e. only snapshots strictly
+    older than the cutoff expire), OR a named ref points at it. The two
+    knobs compose as a union, matching Iceberg's
+    ``retain_last``/``older_than``."""
     blocks_root = os.path.join(out_dir, "blocks")
     if not os.path.isdir(blocks_root):
         return {"removed": []}
@@ -615,12 +628,19 @@ def vacuum_blocks(out_dir: str) -> dict:
     removed = []
     m = Manifest(out_dir)
     all_entries = m.read()
-    # NAMED REFS pin their snapshot's files (Iceberg branch
-    # retention): dirs and delete files a ref'd snapshot still needs
-    # survive vacuum; drop the ref to expire them on the next vacuum.
+    # RETAINED snapshots pin their files exactly like named refs
+    # (Iceberg branch retention): dirs and delete files a retained
+    # snapshot still needs survive vacuum; age out of the retention
+    # window (or drop the ref) to expire them on the next vacuum.
+    snaps = [(e["snapshot_id"], e.get("ts", 0.0))
+             for e in all_entries if e.get("kind") == "snapshot"]
+    retained = {sid for sid, _ts in snaps[-max(1, int(retain_last)):]}
+    if older_than is not None:
+        retained |= {sid for sid, ts in snaps if ts >= older_than}
+    retained |= set(list_refs(out_dir).values())
     pinned_dirs: set[str] = set()
     pinned_deletes: set[str] = set()
-    for _name, sid in sorted(list_refs(out_dir).items()):
+    for sid in sorted(retained):
         pinned_dirs |= _dirs_needed_at(all_entries, sid)
         pinned_deletes |= {
             os.path.relpath(f, out_dir)

@@ -24,6 +24,15 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=256)
     ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--retain-last", type=int, default=1,
+                    help="expire_snapshots retention: keep the newest "
+                         "N snapshots' files through --vacuum "
+                         "(default 1 = HEAD only)")
+    ap.add_argument("--older-than", type=float, default=None,
+                    metavar="UNIX_TS",
+                    help="only snapshots committed before this unix "
+                         "timestamp expire on --vacuum (unions with "
+                         "--retain-last, like Iceberg)")
     ap.add_argument("--delete-keys", default=None, metavar="K1,K2,...",
                     help="equality delete (merge-on-read): tombstone "
                          "these key values; requires --key-col AND "
@@ -129,7 +138,9 @@ def main() -> None:
     if args.vacuum:
         from libgiddy_spark.engine import vacuum_blocks
 
-        out["vacuum"] = vacuum_blocks(args.encoded)
+        out["vacuum"] = vacuum_blocks(
+            args.encoded, retain_last=args.retain_last,
+            older_than=args.older_than)
     print(json.dumps(out))
 
 
