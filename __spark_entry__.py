@@ -133,10 +133,14 @@ def q_roundtrip_events(spark, sf_dir):
 
 
 def q_roundtrip_pruned_range(spark, sf_dir):
-    """Zone-map pruned decode: per-block sort-key min/max written at
-    encode time prune non-overlapping blocks at parquet row-group
-    level; the exact predicate then runs on the (much smaller) decoded
-    frame. Oracle = plain BETWEEN over the raw source."""
+    """Zone-map pruned decode THROUGH a sort-order compaction
+    (round 5): encode, then ``rewrite_sorted`` re-clusters the table by
+    key (Iceberg rewrite_data_files sort strategy — staged rewrite,
+    disjoint per-part zone maps), then a key-range decode prunes
+    non-overlapping chunks at the manifest level and non-overlapping
+    blocks at parquet row-group level; the exact predicate runs on the
+    (much smaller) decoded frame. Oracle = plain BETWEEN over the raw
+    source — the rewrite must be row-invisible."""
     import atexit
     import shutil
     import tempfile
@@ -144,7 +148,8 @@ def q_roundtrip_pruned_range(spark, sf_dir):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from libgiddy_spark.engine import decode_blocks, encode_snapshot
+    from libgiddy_spark.engine import (
+        decode_blocks, encode_snapshot, rewrite_sorted)
 
     src = f"{sf_dir}/lineitem.parquet"
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
@@ -152,6 +157,8 @@ def q_roundtrip_pruned_range(spark, sf_dir):
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     encode_snapshot(spark, src, out, key_col="l_orderkey", columns=cols)
     schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    rewrite_sorted(spark, out, schema, key_col="l_orderkey",
+                   target_part_bytes=256 << 10, chunk_parts=1)
     dec = decode_blocks(spark, out, schema, key_range=(1000, 3000))
     return dec.filter(
         (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 3000)

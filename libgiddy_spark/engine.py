@@ -992,6 +992,85 @@ def _accepted_deletes(
     return out
 
 
+def _staged_full_rewrite(
+    spark: SparkSession,
+    out_dir: str,
+    schema: pa.Schema,
+    key_col: str,
+    deletes: list[tuple[str, str, int]],
+    cluster: bool = False,
+    target_part_bytes: int = 128 << 20,
+    chunk_parts: int = 64,
+) -> tuple[dict, list[str]]:
+    """Shared full-table rewrite: decode the LIVE rows (tombstones
+    applied by decode), re-encode them as a fresh snapshot via the
+    RANGE path (repartitionByRange on ``key_col`` → clustered, sorted
+    parts), RETIRE every previous chunk dir, and clear any pending
+    delete files — all in one manifest txn.
+
+    STAGED encode: part lines commit with status=staged — invisible
+    to listing/resume, dirs swept if we crash here — then ONE txn
+    line flips everything at once (promote to done + retire old dirs
+    + clear deletes). No reader can ever see old and new rows
+    together, and a crash at any point leaves a consistent table
+    (before the txn: pre-rewrite state; after: rewritten state).
+    Returns (encode summary, retired dirs)."""
+    m = Manifest(out_dir)
+    blocks_root = os.path.join(out_dir, "blocks")
+    old_dirs = sorted(
+        {
+            os.path.relpath(f, blocks_root).split(os.sep)[0]
+            for f in _committed_block_files(out_dir)
+        }
+    )
+    dec = decode_blocks(spark, out_dir, schema).drop("part_id")
+    if cluster:
+        # parts = staging files, and each part's manifest zone map is
+        # its file's key range — so global clustering must happen HERE:
+        # range-partition on the key (disjoint ranges per file), sized
+        # ~target_part_bytes of source bytes per part so part count
+        # tracks table size on a cluster
+        live_bytes = sum(
+            os.path.getsize(f) for f in _committed_block_files(out_dir))
+        n_parts = max(1, -(-live_bytes // target_part_bytes))
+        dec = dec.repartitionByRange(n_parts, key_col)
+    src = os.path.join(out_dir, "_purge_src")
+    shutil.rmtree(src, ignore_errors=True)
+    (dec.write.mode("overwrite")
+     .option("parquet.block.size", 8 * 1024 * 1024)
+     .parquet(src))
+    summary = encode_files(
+        spark, src, list_parquet_files(src), out_dir, key_col,
+        chunk_parts=chunk_parts,
+        exchange="range",
+        commit_status="staged",
+    )
+    staged = [
+        e for e in m.read()
+        if e.get("kind") == "part" and e.get("status") == "staged"
+        and e.get("snapshot_id") == summary["snapshot_id"]
+    ]
+    promoted = [{**e, "status": "done"} for e in staged]
+    txn = promoted + [{
+        "kind": "rewrite",
+        "snapshot_id": summary["snapshot_id"],
+        "new_chunk": None,
+        "replaces": sorted(old_dirs),
+        "ts": time.time(),
+    }]
+    if deletes:
+        txn.append({
+            "kind": "delete_clear",
+            "snapshot_id": summary["snapshot_id"],
+            "files": sorted(
+                os.path.relpath(f, out_dir) for f, _k, _n in deletes
+            ),
+            "ts": time.time(),
+        })
+    m.commit_txn(txn)
+    return summary, old_dirs
+
+
 def purge_deletes(
     spark: SparkSession, out_dir: str, schema: pa.Schema, key_col: str,
 ) -> dict:
@@ -1006,60 +1085,44 @@ def purge_deletes(
     deletes = _accepted_deletes(out_dir)
     if not deletes:
         return {"purged_files": 0, "rewritten": False}
-    m = Manifest(out_dir)
-    blocks_root = os.path.join(out_dir, "blocks")
-    old_dirs = sorted(
-        {
-            os.path.relpath(f, blocks_root).split(os.sep)[0]
-            for f in _committed_block_files(out_dir)
-        }
-    )
-    dec = decode_blocks(spark, out_dir, schema).drop("part_id")
-    src = os.path.join(out_dir, "_purge_src")
-    shutil.rmtree(src, ignore_errors=True)
-    (dec.write.mode("overwrite")
-     .option("parquet.block.size", 8 * 1024 * 1024)
-     .parquet(src))
-    # STAGED encode: part lines commit with status=staged — invisible
-    # to listing/resume, dirs swept if we crash here — then ONE txn
-    # line flips everything at once (promote to done + retire old dirs
-    # + clear deletes). No reader can ever see old and new rows
-    # together, and a crash at any point leaves a consistent table
-    # (before the txn: pre-purge state; after: purged state).
-    summary = encode_files(
-        spark, src, list_parquet_files(src), out_dir, key_col,
-        commit_status="staged",
-    )
-    staged = [
-        e for e in m.read()
-        if e.get("kind") == "part" and e.get("status") == "staged"
-        and e.get("snapshot_id") == summary["snapshot_id"]
-    ]
-    promoted = [{**e, "status": "done"} for e in staged]
-    m.commit_txn(
-        promoted
-        + [{
-            "kind": "rewrite",
-            "snapshot_id": summary["snapshot_id"],
-            "new_chunk": None,
-            "replaces": sorted(old_dirs),
-            "ts": time.time(),
-        }]
-        + [{
-            "kind": "delete_clear",
-            "snapshot_id": summary["snapshot_id"],
-            "files": sorted(
-                os.path.relpath(f, out_dir) for f, _k, _n in deletes
-            ),
-            "ts": time.time(),
-        }]
-    )
+    summary, old_dirs = _staged_full_rewrite(
+        spark, out_dir, schema, key_col, deletes)
     return {
         "purged_files": len(deletes),
         "rewritten": True,
         "snapshot_id": summary["snapshot_id"],
         "retired_dirs": old_dirs,
         "encoded_parts": summary["encoded_parts"],
+    }
+
+
+def rewrite_sorted(
+    spark: SparkSession, out_dir: str, schema: pa.Schema, key_col: str,
+    target_part_bytes: int = 128 << 20,
+    chunk_parts: int = 64,
+) -> dict:
+    """SORT-ORDER compaction (Iceberg rewrite_data_files with a sort
+    strategy): re-cluster the whole table by ``key_col``. Appends and
+    streaming micro-batches interleave key ranges across chunks, so
+    zone maps overlap and a key-range decode touches every chunk;
+    after a sorted rewrite each part owns a tight disjoint key range —
+    manifest-level pruning drops whole chunks again and runs/deltas
+    re-tighten for RLE/delta/FoR. Implemented as a full staged rewrite
+    through the RANGE encode path (repartitionByRange + per-part Arrow
+    sort); any pending equality deletes are materialized on the way
+    (the rewrite decodes live rows, so keeping the tombstone files
+    would double-apply history). Old dirs stay for time travel until
+    :func:`vacuum_blocks`."""
+    deletes = _accepted_deletes(out_dir)
+    summary, old_dirs = _staged_full_rewrite(
+        spark, out_dir, schema, key_col, deletes, cluster=True,
+        target_part_bytes=target_part_bytes, chunk_parts=chunk_parts)
+    return {
+        "sorted_by": key_col,
+        "snapshot_id": summary["snapshot_id"],
+        "retired_dirs": old_dirs,
+        "encoded_parts": summary["encoded_parts"],
+        "materialized_deletes": len(deletes),
     }
 
 

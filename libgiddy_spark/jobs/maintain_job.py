@@ -43,6 +43,11 @@ def main() -> None:
                     help="materialize pending deletes: full rewrite "
                          "minus tombstones; requires --source for the "
                          "table schema and --key-col")
+    ap.add_argument("--rewrite-sorted", action="store_true",
+                    help="sort-order compaction: re-cluster the whole "
+                         "table by --key-col (disjoint per-part zone "
+                         "maps; materializes pending deletes); "
+                         "requires --source for the table schema")
     ap.add_argument("--source", default=None,
                     help="source snapshot (schema for --purge)")
     ap.add_argument("--create-ref", default=None, metavar="NAME[@SNAP]",
@@ -54,9 +59,11 @@ def main() -> None:
     ap.add_argument("--list-refs", action="store_true")
     args = ap.parse_args()
     if not (args.compact or args.vacuum or args.delete_keys or args.purge
+            or args.rewrite_sorted
             or args.create_ref or args.drop_ref or args.list_refs):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
-                 "--purge/--create-ref/--drop-ref/--list-refs")
+                 "--purge/--rewrite-sorted/--create-ref/--drop-ref/"
+                 "--list-refs")
 
     out: dict = {}
     if args.create_ref:
@@ -125,6 +132,23 @@ def main() -> None:
              else _os.path.join(args.source, first))
         spark = build_spark("libgiddy-spark-maintain")
         out["purge"] = purge_deletes(
+            spark, args.encoded, pq.read_schema(p), key_col=args.key_col)
+    if args.rewrite_sorted:
+        import pyarrow.parquet as pq
+
+        from libgiddy_spark.engine import rewrite_sorted
+        from libgiddy_spark.jobs.encode_job import build_spark
+        from libgiddy_spark.table_io import list_parquet_files
+
+        if not (args.source and args.key_col):
+            ap.error("--rewrite-sorted requires --source and --key-col")
+        import os as _os
+
+        first = list_parquet_files(args.source)[0][0]
+        p = (args.source if _os.path.isfile(args.source)
+             else _os.path.join(args.source, first))
+        spark = build_spark("libgiddy-spark-maintain")
+        out["rewrite_sorted"] = rewrite_sorted(
             spark, args.encoded, pq.read_schema(p), key_col=args.key_col)
     if args.compact:
         from libgiddy_spark.engine import compact_blocks
