@@ -48,11 +48,21 @@ def main() -> None:
                          "a full decode")
     ap.add_argument("--changes-to", default=None, metavar="SNAPSHOT_ID",
                     help="changelog upper bound (default HEAD)")
+    ap.add_argument("--consume-checkpoint", default=None, metavar="DIR",
+                    help="exactly-once changelog consume: run ONE "
+                         "poll->sink->commit cycle against this "
+                         "consumer checkpoint dir, materializing the "
+                         "unconsumed window to --out/epoch-N (staged "
+                         "write + atomic rename; a crashed cycle "
+                         "replays into the same epoch dir). Requires "
+                         "--out")
     args = ap.parse_args()
     if args.changes_since is not None and (
             args.verify or args.key_range or args.key_point is not None
             or args.as_of):
         ap.error("--changes-since composes only with --columns/--out")
+    if args.consume_checkpoint is not None and not args.out:
+        ap.error("--consume-checkpoint requires --out")
 
     import pyarrow.parquet as pq
 
@@ -85,6 +95,18 @@ def main() -> None:
     import pyarrow as pa
 
     from pyspark.sql import functions as F
+
+    if args.consume_checkpoint is not None:
+        from libgiddy_spark.changelog import (
+            ChangelogConsumer, parquet_epoch_sink)
+
+        consumer = ChangelogConsumer(
+            args.encoded, schema, args.consume_checkpoint)
+        st = consumer.run_once(spark, parquet_epoch_sink(args.out))
+        print(json.dumps(
+            {"consumed": st is not None,
+             "checkpoint": st if st else consumer._state()}))
+        return
 
     if args.changes_since is not None:
         from libgiddy_spark.engine import read_changes

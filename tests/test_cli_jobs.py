@@ -133,3 +133,39 @@ def test_decode_cli_column_projection(spark, tmp_path, monkeypatch, capsys):
          ["--encoded", out, "--source", src, "--key-col", "doc_id",
           "--columns", "lang", "--verify"])
     assert _last_json(capsys)["ok"]
+
+
+def test_consume_and_sorted_rewrite_cli(spark, tmp_path, monkeypatch,
+                                        capsys):
+    from libgiddy_spark.jobs import decode_job, encode_job, maintain_job
+
+    src = str(tmp_path / "csrc")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(
+        2).write.parquet(src)
+    out = str(tmp_path / "cenc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id"])
+    capsys.readouterr()
+    # exactly-once consume: first cycle drains, second is a no-op
+    ckpt = str(tmp_path / "ckpt")
+    dst = str(tmp_path / "consumed")
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--consume-checkpoint", ckpt, "--out", dst])
+    rep = _last_json(capsys)
+    assert rep["consumed"] and rep["checkpoint"]["epoch"] == 1
+    assert spark.read.parquet(os.path.join(dst, "epoch-0")).count() == 500
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--consume-checkpoint", ckpt, "--out", dst])
+    assert not _last_json(capsys)["consumed"]
+    # sort-order compaction through the CLI, then an exact verify
+    _run(monkeypatch, maintain_job,
+         ["--encoded", out, "--rewrite-sorted", "--source", src,
+          "--key-col", "doc_id"])
+    rep = _last_json(capsys)
+    assert rep["rewrite_sorted"]["sorted_by"] == "doc_id"
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--verify"])
+    assert _last_json(capsys)["ok"]
