@@ -553,17 +553,67 @@ def q_embedding_lsh_buckets(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    from libgiddy_spark.pipeline import embedding_near_dup_stats
+    """BOTH embedding near-dup paths in one query (merged round 5 to
+    keep the driver's 50-query window): the brute-force exact baseline
+    and the LSH-bucketed scale path (multi-probe hamming<=1
+    candidates, no cartesian in the plan), unioned under a method
+    tag. Same predicate, so LSH recall is read directly off the two
+    n_near_dups rows."""
+    from libgiddy_spark.pipeline import (
+        embedding_near_dup_stats, embedding_near_dups_lsh)
 
-    return embedding_near_dup_stats(_embs(spark, sf_dir))
+    embs = _embs(spark, sf_dir)
+    brute = embedding_near_dup_stats(embs).select(
+        F.lit("brute").alias("method"),
+        F.lit(-1).cast("long").alias("n_candidate_pairs"),
+        F.col("n_near_dups").cast("long").alias("n_near_dups"),
+        "min_ka", "max_kb")
+    lsh = embedding_near_dups_lsh(embs).select(
+        F.lit("lsh").alias("method"),
+        F.col("n_candidate_pairs").cast("long").alias("n_candidate_pairs"),
+        F.col("n_near_dups").cast("long").alias("n_near_dups"),
+        "min_ka", "max_kb")
+    return brute.unionByName(lsh)
 
 
-def q_embedding_near_dups_lsh(spark, sf_dir):
-    """Embedding near-dups through the LSH-bucketed SCALE path
-    (multi-probe hamming<=1 candidates, no cartesian in the plan)."""
-    from libgiddy_spark.pipeline import embedding_near_dups_lsh
+def q_table_upsert(spark, sf_dir):
+    """Row-level UPSERT / MERGE (round 5): encode documents, then ONE
+    atomic upsert_rows call that (a) replaces every doc_id % 100 == 0
+    row with a modified version (lang -> 'xx', n_chars + 1000) and
+    (b) inserts three brand-new docs — new parts + a sequence-scoped
+    tombstone in a single manifest txn (engine.upsert_rows). Decode
+    must equal the SQL MERGE over the raw table."""
+    import atexit
+    import shutil
+    import tempfile
 
-    return embedding_near_dups_lsh(_embs(spark, sf_dir))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import (
+        decode_blocks, encode_snapshot, upsert_rows)
+
+    src = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    out = tempfile.mkdtemp(prefix="lgs_up_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    encode_snapshot(spark, src, out, key_col="doc_id", columns=cols)
+    docs = spark.read.parquet(src).select(cols)
+    upd = (docs.filter(F.col("doc_id") % 100 == 0)
+           .withColumn("lang", F.lit("xx"))
+           .withColumn("n_chars", F.col("n_chars") + F.lit(1000)))
+    new = spark.range(3).select(
+        (F.lit(10_000_000) + F.col("id")).cast(
+            docs.schema["doc_id"].dataType).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("id").cast("string"))
+        .alias("text"),
+        F.lit("zz").alias("lang"),
+        F.lit("upsert").alias("source"),
+        F.lit(9).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+    )
+    upsert_rows(spark, out, "doc_id", upd.unionByName(new))
+    schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    return decode_blocks(spark, out, schema).select(*cols)
 
 
 def q_embedding_topk_lsh(spark, sf_dir):
@@ -850,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # left the tail 5 unchecked) — never let a first-run operator sort
     # behind long-green roundtrips.
     return {
+        "table_upsert": q_table_upsert,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_image": q_multimodal_decode_image,
         "multimodal_decode_audio": q_multimodal_decode_audio,
@@ -895,7 +946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_ivf_assign": q_embedding_ivf_assign,
         "embedding_ivf_refined": q_embedding_ivf_refined,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1270,23 +1320,45 @@ def oracle_sql() -> dict[str, str]:
             "r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
             "SELECT query_id, rank, neighbor_id, qdot FROM r2 WHERE rank <= 3",
-        "embedding_near_dups_lsh":
+        "embedding_near_dups":
             f"{_QEMB_CTE}, {_lsh_cand_ctes()}, "
             "cand AS (SELECT DISTINCT pr.vec_id AS ka, c.vec_id AS kb "
             "FROM pr JOIN bok c ON c.bucket = pr.probe AND pr.vec_id < c.vec_id), "
             "norms AS (SELECT vec_id, q, " + _QDOT.format(a="q", b="q")
-            + " AS n2 FROM q), pairs AS (SELECT cand.ka, cand.kb, "
+            + " AS n2 FROM q), lpairs AS (SELECT cand.ka, cand.kb, "
             + _QDOT.format(a="na.q", b="nb.q")
             + " AS dot, na.n2 AS na2, nb.n2 AS nb2 FROM cand "
             "JOIN norms na ON na.vec_id = cand.ka "
-            "JOIN norms nb ON nb.vec_id = cand.kb) "
-            "SELECT COUNT(*) AS n_candidate_pairs, "
+            "JOIN norms nb ON nb.vec_id = cand.kb), "
+            "bpairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb, "
+            + _QDOT.format(a="a.q", b="b.q")
+            + " AS dot, a.n2 AS na2, b.n2 AS nb2 FROM norms a "
+            "JOIN norms b ON a.vec_id < b.vec_id), "
+            "bhits AS (SELECT * FROM bpairs WHERE "
+            "dot > 0 AND dot*dot*10000 >= 6400*na2*nb2) "
+            "SELECT 'brute' AS method, CAST(-1 AS BIGINT) AS n_candidate_pairs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_near_dups, "
+            "MIN(ka) AS min_ka, MAX(kb) AS max_kb FROM bhits "
+            "UNION ALL "
+            "SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs, "
             "CAST(SUM(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, "
             "MIN(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
             "THEN ka END) AS min_ka, "
             "MAX(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
-            "THEN kb END) AS max_kb FROM pairs",
+            "THEN kb END) AS max_kb FROM lpairs",
+        "table_upsert":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 100 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id, text, 'xx' AS lang, source, "
+            "n_chars + 1000 AS n_chars FROM documents "
+            "WHERE doc_id % 100 = 0 "
+            "UNION ALL "
+            "SELECT CAST(10000000 + i AS BIGINT) AS doc_id, "
+            "'new doc ' || CAST(i AS VARCHAR) AS text, "
+            "'zz' AS lang, 'upsert' AS source, "
+            "CAST(9 AS INT) AS n_chars FROM range(3) t(i)",
         "embedding_topk_lsh":
             f"{_QEMB_CTE}, {_lsh_cand_ctes()}, "
             "cand AS (SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id "
@@ -1299,14 +1371,4 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
             "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
-        "embedding_near_dups":
-            f"{_QEMB_CTE}, norms AS (SELECT vec_id, q, "
-            + _QDOT.format(a="q", b="q")
-            + " AS n2 FROM q), pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb, "
-            + _QDOT.format(a="a.q", b="b.q")
-            + " AS dot, a.n2 AS na, b.n2 AS nb FROM norms a JOIN norms b "
-            "ON a.vec_id < b.vec_id), hits AS (SELECT * FROM pairs WHERE "
-            "dot > 0 AND dot*dot*10000 >= 6400*na*nb) "
-            "SELECT COUNT(*) AS n_near_dups, MIN(ka) AS min_ka, "
-            "MAX(kb) AS max_kb FROM hits",
     }

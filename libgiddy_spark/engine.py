@@ -644,7 +644,7 @@ def vacuum_blocks(
         pinned_dirs |= _dirs_needed_at(all_entries, sid)
         pinned_deletes |= {
             os.path.relpath(f, out_dir)
-            for f, _k, _n in _accepted_deletes(out_dir, sid)
+            for f, _k, _n, _s in _accepted_deletes(out_dir, sid)
         }
     replaced: set[str] = set()
     for e in all_entries:
@@ -667,6 +667,11 @@ def vacuum_blocks(
         full = os.path.join(out_dir, rel)
         if os.path.isfile(full):
             os.remove(full)
+            removed.append(rel)
+        elif os.path.isdir(full):
+            # upsert tombstones are written distributed (a parquet
+            # DIRECTORY) — expire them the same way
+            shutil.rmtree(full)
             removed.append(rel)
     purge_src = os.path.join(out_dir, "_purge_src")
     if os.path.isdir(purge_src):
@@ -911,10 +916,11 @@ def delete_rows(out_dir: str, key_col: str, keys: list) -> dict:
     key values and commit a manifest ``delete`` entry — no data file is
     touched. Every subsequent :func:`decode_blocks` anti-joins the
     tombstoned keys out at read time; time travel to snapshots BEFORE
-    the delete still sees the rows. Semantics are global tombstones
-    (the GDPR-purge shape: all occurrences of the key, including any
-    later re-ingest, until a physical rewrite clears them) — simpler
-    than Iceberg's sequence-number scoping and strictly conservative.
+    the delete still sees the rows. Semantics are Iceberg
+    SEQUENCE-SCOPED (round 5): the delete applies only to rows whose
+    part committed strictly before it, so a key re-ingested afterwards
+    (an upsert) survives; delete again after re-ingest for the
+    GDPR-purge shape.
 
     Driver-side by design: delete batches are key lists (bounded
     metadata), not row data. At 100 TB the delete FILES stay small
@@ -952,18 +958,94 @@ def delete_rows(out_dir: str, key_col: str, keys: list) -> dict:
 DELETE_BROADCAST_MAX_KEYS = 1_000_000
 
 
+def upsert_rows(
+    spark: SparkSession, out_dir: str, key_col: str, df: DataFrame,
+) -> dict:
+    """Row-level UPSERT / MERGE (Iceberg ``MERGE INTO ... WHEN MATCHED
+    THEN UPDATE WHEN NOT MATCHED THEN INSERT`` analogue): atomically
+    replace the table's rows whose ``key_col`` appears in ``df`` with
+    df's rows, and insert the rest. ONE new snapshot: the new parts
+    and a SEQUENCE-SCOPED tombstone of df's keys (applying only to
+    parts committed before this snapshot — the new rows themselves are
+    exempt by seq) commit in a single manifest txn, so a reader sees
+    the pre-upsert or the post-upsert table, never a mix; time travel
+    before it sees the old rows; the changelog emits delete-of-old +
+    insert-of-new, the standard CDC update shape.
+
+    Scale: df's rows flow through the normal distributed encode; the
+    tombstone key file is also written DISTRIBUTED (a parquet
+    directory), so upsert batches are not driver-bounded, and past
+    ``DELETE_BROADCAST_MAX_KEYS`` decode's anti-join shuffles instead
+    of broadcasting — same guard as plain deletes. ``df`` must carry
+    the full table schema (column subsets would null-fill on decode)."""
+    m = Manifest(out_dir)
+    if not any(e.get("kind") == "snapshot" for e in m.read()):
+        raise ValueError(f"no snapshots in {out_dir}: encode first")
+    if key_col not in df.columns:
+        raise ValueError(f"upsert df lacks key column {key_col!r}")
+    # stage the new rows (same pattern as purge: staged part lines are
+    # invisible until the txn flips them)
+    src = os.path.join(out_dir, "_upsert_src")
+    shutil.rmtree(src, ignore_errors=True)
+    (df.write.mode("overwrite")
+     .option("parquet.block.size", 8 * 1024 * 1024)
+     .parquet(src))
+    summary = encode_files(
+        spark, src, list_parquet_files(src), out_dir, key_col,
+        commit_status="staged",
+    )
+    # distributed tombstone of the upserted keys, staged + atomic rename
+    dnum = sum(1 for e in m.read() if e.get("kind") == "delete")
+    rel = os.path.join("deletes", f"delete-{dnum:05d}.parquet")
+    os.makedirs(os.path.join(out_dir, "deletes"), exist_ok=True)
+    tmp = os.path.join(out_dir, "deletes", f"_tmp-delete-{dnum:05d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    keys = spark.read.parquet(src).select(key_col).distinct()
+    keys.write.mode("overwrite").parquet(tmp)
+    n_keys = spark.read.parquet(tmp).count()
+    final = os.path.join(out_dir, rel)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    staged = [
+        e for e in m.read()
+        if e.get("kind") == "part" and e.get("status") == "staged"
+        and e.get("snapshot_id") == summary["snapshot_id"]
+    ]
+    promoted = [{**e, "status": "done"} for e in staged]
+    m.commit_txn(promoted + [{
+        "kind": "delete",
+        "snapshot_id": summary["snapshot_id"],
+        "file": rel,
+        "key_col": key_col,
+        "n": int(n_keys),
+        "ts": time.time(),
+    }])
+    shutil.rmtree(src, ignore_errors=True)
+    return {"snapshot_id": summary["snapshot_id"],
+            "upserted_keys": int(n_keys),
+            "encoded_parts": summary["encoded_parts"]}
+
+
 def _accepted_deletes(
     out_dir: str, as_of: str | None = None
-) -> list[tuple[str, str, int]]:
-    """(abs delete file, key_col, n_keys) for delete entries visible at
-    ``as_of`` (or HEAD), via the chunk index + manifest tail. n_keys
-    comes from the manifest entry — no file scan."""
+) -> list[tuple[str, str, int, int]]:
+    """(abs delete file, key_col, n_keys, commit_seq) for delete
+    entries visible at ``as_of`` (or HEAD), via the chunk index +
+    manifest tail. n_keys comes from the manifest entry — no file
+    scan. commit_seq is the delete snapshot's 0-based position in the
+    manifest's snapshot order — the Iceberg sequence number the delete
+    is scoped by (it applies only to parts with a smaller seq)."""
     m = Manifest(out_dir)
     idx = m.read_index()
     if idx is not None:
         entries = idx[0] + m.read_tail(idx[1])
     else:
         entries = m.read()
+    snaps: list[str] = []
+    for e in entries:
+        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
+            snaps.append(e["snapshot_id"])
+    seq_of = {s: i for i, s in enumerate(snaps)}
     accepted: set[str] | None = None
     if as_of is not None:
         accepted = set()
@@ -988,7 +1070,33 @@ def _accepted_deletes(
         if e["file"] in cleared:
             continue  # materialized by a purge rewrite
         out.append((os.path.join(out_dir, e["file"]), e["key_col"],
-                    int(e.get("n", 0))))
+                    int(e.get("n", 0)),
+                    seq_of.get(e.get("snapshot_id"), 0)))
+    return out
+
+
+def _part_seq_map(out_dir: str) -> dict[int, int]:
+    """part_id -> 0-based commit-snapshot position (the part's Iceberg
+    sequence number), from the chunk index + tail. Compaction preserves
+    a part's ORIGINAL seq (rewrites add no part entries), so delete
+    applicability never changes across storage maintenance; purge
+    re-encodes under fresh part ids at the purge snapshot's seq."""
+    entries = _manifest_entries(out_dir)
+    snaps: list[str] = []
+    for e in entries:
+        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
+            snaps.append(e["snapshot_id"])
+    seq_of = {s: i for i, s in enumerate(snaps)}
+    out: dict[int, int] = {}
+    for e in entries:
+        k = e.get("kind")
+        if k == "chunk" and e.get("snapshot_id") in seq_of:
+            for p in e.get("parts", ()):
+                out.setdefault(int(p), seq_of[e["snapshot_id"]])
+        elif (k == "part" and e.get("status") == "done"
+                and e.get("snapshot_id") in seq_of
+                and e.get("part_id") is not None):
+            out.setdefault(int(e["part_id"]), seq_of[e["snapshot_id"]])
     return out
 
 
@@ -1063,7 +1171,7 @@ def _staged_full_rewrite(
             "kind": "delete_clear",
             "snapshot_id": summary["snapshot_id"],
             "files": sorted(
-                os.path.relpath(f, out_dir) for f, _k, _n in deletes
+                os.path.relpath(f, out_dir) for f, _k, _n, _s in deletes
             ),
             "ts": time.time(),
         })
@@ -1473,7 +1581,26 @@ def _apply_evolution_and_deletes(
     # never sees its entry (_accepted_deletes filters by as_of).
     bcast_max = int(os.environ.get(
         "LGS_DELETE_BROADCAST_MAX_KEYS", DELETE_BROADCAST_MAX_KEYS))
-    for dfile, dkey, n_keys in _accepted_deletes(out_dir, as_of):
+    deletes = _accepted_deletes(out_dir, as_of)
+    if not deletes:
+        return result
+    # SEQUENCE SCOPING (Iceberg delete ordering): a delete applies only
+    # to rows whose part committed STRICTLY BEFORE the delete's
+    # snapshot, so keys re-ingested after it survive — the semantics
+    # upsert_rows needs. The common case (no append after any pending
+    # delete) is detected from manifest metadata alone and keeps the
+    # historical key-only anti-join: zero extra plan nodes.
+    part_seq = _part_seq_map(out_dir)
+    min_dseq = min(d[3] for d in deletes)
+    scoped = any(s >= min_dseq for s in part_seq.values())
+    orig_cols = result.columns
+    if scoped:
+        # bounded metadata: one small (part_id, seq) broadcast join
+        # tags every row with its part's sequence number
+        pseq_df = spark.createDataFrame(
+            sorted(part_seq.items()), "part_id int, _part_seq int")
+        result = result.join(F.broadcast(pseq_df), "part_id", "left")
+    for dfile, dkey, n_keys, dseq in deletes:
         if not os.path.exists(dfile):
             # time travel between a delete and its purge after vacuum
             # removed the cleared delete file: fail with the same loud
@@ -1484,18 +1611,27 @@ def _apply_evolution_and_deletes(
                 f"{os.path.basename(dfile)!r}, which was removed "
                 "(vacuumed/expired)"
             )
-        if dkey not in result.columns:
+        if dkey not in orig_cols:
             raise ValueError(
                 f"equality-delete file {dfile!r} tombstones on column "
                 f"{dkey!r}, which the projection excludes — include it "
                 "so merge-on-read can apply (or purge deletes first)"
             )
-        tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
-        if n_keys > bcast_max:
-            tomb = tomb.hint("shuffle_hash")
+        if scoped:
+            tomb = spark.read.parquet(dfile).select(
+                F.col(dkey).alias("_tomb_key")).distinct()
+            tomb = (tomb.hint("shuffle_hash") if n_keys > bcast_max
+                    else F.broadcast(tomb))
+            cond = ((F.col(dkey) == F.col("_tomb_key"))
+                    & (F.col("_part_seq") < F.lit(int(dseq))))
+            result = result.join(tomb, cond, "left_anti")
         else:
-            tomb = F.broadcast(tomb)
-        result = result.join(tomb, dkey, "left_anti")
+            tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
+            tomb = (tomb.hint("shuffle_hash") if n_keys > bcast_max
+                    else F.broadcast(tomb))
+            result = result.join(tomb, dkey, "left_anti")
+    if scoped:
+        result = result.select(*orig_cols)
     return result
 
 

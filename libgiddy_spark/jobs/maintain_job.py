@@ -43,6 +43,12 @@ def main() -> None:
                     help="materialize pending deletes: full rewrite "
                          "minus tombstones; requires --source for the "
                          "table schema and --key-col")
+    ap.add_argument("--upsert-source", default=None, metavar="DIR",
+                    help="row-level upsert (MERGE): atomically replace "
+                         "rows whose --key-col appears in this parquet "
+                         "dir/file with its rows and insert the rest "
+                         "(one snapshot: staged parts + sequence-"
+                         "scoped tombstone in a single txn)")
     ap.add_argument("--rewrite-sorted", action="store_true",
                     help="sort-order compaction: re-cluster the whole "
                          "table by --key-col (disjoint per-part zone "
@@ -59,11 +65,11 @@ def main() -> None:
     ap.add_argument("--list-refs", action="store_true")
     args = ap.parse_args()
     if not (args.compact or args.vacuum or args.delete_keys or args.purge
-            or args.rewrite_sorted
+            or args.rewrite_sorted or args.upsert_source
             or args.create_ref or args.drop_ref or args.list_refs):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
-                 "--purge/--rewrite-sorted/--create-ref/--drop-ref/"
-                 "--list-refs")
+                 "--purge/--rewrite-sorted/--upsert-source/--create-ref/"
+                 "--drop-ref/--list-refs")
 
     out: dict = {}
     if args.create_ref:
@@ -133,6 +139,16 @@ def main() -> None:
         spark = build_spark("libgiddy-spark-maintain")
         out["purge"] = purge_deletes(
             spark, args.encoded, pq.read_schema(p), key_col=args.key_col)
+    if args.upsert_source:
+        from libgiddy_spark.engine import upsert_rows
+        from libgiddy_spark.jobs.encode_job import build_spark
+
+        if not args.key_col:
+            ap.error("--upsert-source requires --key-col")
+        spark = build_spark("libgiddy-spark-maintain")
+        out["upsert"] = upsert_rows(
+            spark, args.encoded, args.key_col,
+            spark.read.parquet(args.upsert_source))
     if args.rewrite_sorted:
         import pyarrow.parquet as pq
 

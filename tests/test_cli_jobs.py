@@ -169,3 +169,33 @@ def test_consume_and_sorted_rewrite_cli(spark, tmp_path, monkeypatch,
          ["--encoded", out, "--source", src, "--key-col", "doc_id",
           "--verify"])
     assert _last_json(capsys)["ok"]
+
+
+def test_upsert_cli(spark, tmp_path, monkeypatch, capsys):
+    from libgiddy_spark.jobs import decode_job, encode_job, maintain_job
+
+    src = str(tmp_path / "usrc")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "uenc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id"])
+    capsys.readouterr()
+    upd = str(tmp_path / "upd")
+    docs.filter("doc_id < 10").selectExpr(
+        "doc_id", "text", "'xx' AS lang", "source", "n_chars",
+        *[c for c in docs.columns
+          if c not in ("doc_id", "text", "lang", "source", "n_chars")],
+    ).select(*docs.columns).coalesce(1).write.parquet(upd)
+    _run(monkeypatch, maintain_job,
+         ["--encoded", out, "--upsert-source", upd,
+          "--key-col", "doc_id"])
+    rep = _last_json(capsys)
+    assert rep["upsert"]["upserted_keys"] == 10
+    dst = str(tmp_path / "udec")
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--out", dst])
+    got = spark.read.parquet(dst)
+    assert got.count() == 500
+    assert got.filter("doc_id < 10 AND lang = 'xx'").count() == 10

@@ -177,19 +177,26 @@ def test_blocks_df_empty_when_nothing_committed(spark, tmp_path):
     assert "payload" in bdf.columns
 
 
-def test_delete_then_append_still_tombstoned(spark, tmp_path):
-    """Global-tombstone semantics: a re-ingested key stays deleted
-    until a purge clears the tombstone (documented divergence from
-    Iceberg sequence scoping — strictly conservative)."""
+def test_delete_then_append_sequence_scoped(spark, tmp_path):
+    """Iceberg sequence scoping (round 5): a delete applies only to
+    parts committed strictly before it, so a key re-ingested AFTER the
+    delete survives — and a second delete after the re-ingest removes
+    it again."""
     src, out, schema = _encode_docs(spark, tmp_path)
     delete_rows(out, "doc_id", [7])
+    assert decode_blocks(spark, out, schema).count() == 499
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     docs.filter(F.col("doc_id") == 7).coalesce(1).write.mode(
         "append").parquet(src)
     encode_snapshot(spark, src, out, key_col="doc_id")
     dec = decode_blocks(spark, out, schema)
-    assert dec.filter(F.col("doc_id") == 7).count() == 0
-    assert dec.count() == 499
+    assert dec.filter(F.col("doc_id") == 7).count() == 1
+    assert dec.count() == 500
+    # other pre-delete keys stay deleted by the same tombstone
+    delete_rows(out, "doc_id", [7])
+    dec2 = decode_blocks(spark, out, schema)
+    assert dec2.filter(F.col("doc_id") == 7).count() == 0
+    assert dec2.count() == 499
 
 
 def test_purge_crash_before_txn_is_invisible(spark, tmp_path, monkeypatch):
