@@ -90,6 +90,7 @@ def encode_files(
     min_slices: int | None = None,
     exchange: str = "range",
     commit_status: str = "done",
+    wap_staged: bool = False,
     **_compat,
 ) -> dict:
     """Resumable chunked encode of the given (relpath, bytes) data
@@ -133,7 +134,8 @@ def encode_files(
     num_parts = len(files)
     manifest = Manifest(out_dir)
     manifest.write_snapshot_header(
-        snapshot_id, source_path, _source_files(source_path), num_parts
+        snapshot_id, source_path, _source_files(source_path), num_parts,
+        staged=wap_staged,
     )
     # part_id = STABLE file identity from the manifest's file registry
     # (first-seen order, monotonic). A snapshot that grew by N files
@@ -488,10 +490,11 @@ def compact_blocks(
     blocks_root = os.path.join(out_dir, "blocks")
     m = Manifest(out_dir)
     entries = m.read()
-    head_snapshot = None
-    for e in entries:
-        if e.get("kind") == "snapshot":
-            head_snapshot = e["snapshot_id"]
+    # HEAD = last MAIN-BRANCH snapshot: the rewrite entry must commit
+    # under a snapshot id HEAD readers accept, never an unpublished
+    # WAP-staged header
+    hchain, _hacc = _snap_chain(entries)
+    head_snapshot = hchain[-1] if hchain else None
     if head_snapshot is None:
         return {"bins": 0, "files_before": 0, "files_after": 0}
     live = _committed_block_files(out_dir)
@@ -632,20 +635,33 @@ def vacuum_blocks(
     # (Iceberg branch retention): dirs and delete files a retained
     # snapshot still needs survive vacuum; age out of the retention
     # window (or drop the ref) to expire them on the next vacuum.
-    snaps = [(e["snapshot_id"], e.get("ts", 0.0))
-             for e in all_entries if e.get("kind") == "snapshot"]
-    retained = {sid for sid, _ts in snaps[-max(1, int(retain_last)):]}
+    chain, _acc = _snap_chain(all_entries)
+    ts_of = {e["snapshot_id"]: e.get("ts", 0.0)
+             for e in all_entries if e.get("kind") == "snapshot"}
+    # retention window counts MAIN-BRANCH snapshots (publish order);
+    # unpublished WAP-staged snapshots are pinned unconditionally —
+    # they are awaiting audit, not aging out. Aborted ones are swept.
+    retained = set(chain[-max(1, int(retain_last)):])
     if older_than is not None:
-        retained |= {sid for sid, ts in snaps if ts >= older_than}
+        retained |= {sid for sid in chain
+                     if ts_of.get(sid, 0.0) >= older_than}
     retained |= set(list_refs(out_dir).values())
+    staged_hdrs = {e["snapshot_id"] for e in all_entries
+                   if e.get("kind") == "snapshot" and e.get("staged")}
+    wap_aborted = {e["snapshot_id"] for e in all_entries
+                   if e.get("kind") == "publish" and e.get("abort")}
+    retained |= staged_hdrs - set(chain) - wap_aborted
     pinned_dirs: set[str] = set()
     pinned_deletes: set[str] = set()
     for sid in sorted(retained):
-        pinned_dirs |= _dirs_needed_at(all_entries, sid)
-        pinned_deletes |= {
-            os.path.relpath(f, out_dir)
-            for f, _k, _n, _s in _accepted_deletes(out_dir, sid)
-        }
+        try:
+            pinned_dirs |= _dirs_needed_at(all_entries, sid)
+            pinned_deletes |= {
+                os.path.relpath(f, out_dir)
+                for f, _k, _n, _s in _accepted_deletes(out_dir, sid)
+            }
+        except ValueError:
+            continue  # e.g. a ref left pointing at an aborted WAP snap
     replaced: set[str] = set()
     for e in all_entries:
         if e.get("kind") == "rewrite":
@@ -703,6 +719,20 @@ def vacuum_blocks(
             if d not in live_dirs and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(d)
+    # ABORTED WAP snapshots: their data never joined the main branch
+    # and never will — sweep their chunk dirs (idempotent: a second
+    # vacuum finds them already gone)
+    if wap_aborted:
+        for e in entries:
+            if (e.get("kind") in ("part", "chunk")
+                    and e.get("snapshot_id") in wap_aborted
+                    and e.get("chunk_dir")):
+                d = e["chunk_dir"]
+                full = os.path.join(blocks_root, d)
+                if (d not in live_dirs and d not in pinned_dirs
+                        and os.path.isdir(full)):
+                    shutil.rmtree(full)
+                    removed.append(d)
     if removed or orphans:
         entry = {"kind": "vacuum", "removed": removed, "ts": time.time()}
         lines = [entry]
@@ -712,6 +742,67 @@ def vacuum_blocks(
                           "ts": time.time()})
         m.append(lines)
     return {"removed": removed, "expired_staged": sorted(orphans)}
+
+
+def _snap_chain(
+    entries: list[dict], as_of: str | None = None,
+) -> tuple[list[str], set[str] | None]:
+    """Main-branch snapshot CHAIN (commit order) and the accepted set
+    for a read, WAP-aware (Iceberg write-audit-publish).
+
+    A normal snapshot joins the chain at its header; a WAP-STAGED
+    snapshot (header ``staged: true``) joins at its ``publish`` entry
+    — the Iceberg cherry-pick ordering — so time travel to snapshots
+    committed between stage and publish never sees the staged rows.
+    Aborted staged snapshots never join.
+
+    Returns ``(chain, accepted)``:
+
+    - ``chain``: ordered main-branch snapshot ids; a part/delete's
+      Iceberg sequence number is its snapshot's index here.
+    - ``accepted``: snapshot ids whose data entries a read at
+      ``as_of`` may see, or None = "everything in the manifest" (the
+      zero-overhead fast path, only when nothing is staged and no
+      ``as_of``). ``as_of`` may also name an UNPUBLISHED staged
+      snapshot — the AUDIT read: the main chain as of the stage point
+      plus the staged snapshot itself.
+    """
+    chain: list[str] = []
+    seen: set[str] = set()
+    staged_pos: dict[str, int] = {}   # unpublished staged -> stage point
+    aborted: set[str] = set()
+    for e in entries:
+        k = e.get("kind")
+        if k == "snapshot":
+            sid = e["snapshot_id"]
+            if sid in seen:
+                continue
+            seen.add(sid)
+            if e.get("staged"):
+                staged_pos[sid] = len(chain)
+            else:
+                chain.append(sid)
+        elif k == "publish":
+            sid = e.get("snapshot_id")
+            if sid not in staged_pos or sid in aborted:
+                continue  # unknown / double entry: writer-validated
+            if e.get("abort"):
+                aborted.add(sid)
+            else:
+                chain.append(sid)
+            staged_pos.pop(sid)
+    if as_of is None:
+        accepted = set(chain) if (staged_pos or aborted) else None
+        return chain, accepted
+    if as_of in staged_pos:  # audit read of an unpublished staged snap
+        return chain, set(chain[: staged_pos[as_of]]) | {as_of}
+    if as_of in aborted:
+        raise ValueError(
+            f"snapshot {as_of!r} was a WAP-staged snapshot that was "
+            "aborted — its data never joined the table")
+    if as_of not in seen or as_of not in chain:
+        raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
+    return chain, set(chain[: chain.index(as_of) + 1])
 
 
 def _committed_block_files(
@@ -750,16 +841,7 @@ def _committed_block_files(
         entries = index_entries + m.read_tail(covered)
     else:  # pre-index manifest: full O(parts) read, identical result
         entries = m.read()
-    accepted: set[str] | None = None
-    if as_of is not None:
-        accepted = set()
-        for e in entries:
-            if e.get("kind") == "snapshot":
-                accepted.add(e["snapshot_id"])
-                if e["snapshot_id"] == as_of:
-                    break
-        if as_of not in accepted:
-            raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
+    _chain, accepted = _snap_chain(entries, as_of)
 
     def _in_range(e: dict) -> bool:
         if accepted is not None and e.get("snapshot_id") not in accepted:
@@ -1041,19 +1123,8 @@ def _accepted_deletes(
         entries = idx[0] + m.read_tail(idx[1])
     else:
         entries = m.read()
-    snaps: list[str] = []
-    for e in entries:
-        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
-            snaps.append(e["snapshot_id"])
-    seq_of = {s: i for i, s in enumerate(snaps)}
-    accepted: set[str] | None = None
-    if as_of is not None:
-        accepted = set()
-        for e in entries:
-            if e.get("kind") == "snapshot":
-                accepted.add(e["snapshot_id"])
-                if e["snapshot_id"] == as_of:
-                    break
+    chain, accepted = _snap_chain(entries, as_of)
+    seq_of = {s: i for i, s in enumerate(chain)}
     cleared: set[str] = set()
     for e in entries:
         if e.get("kind") != "delete_clear":
@@ -1075,18 +1146,24 @@ def _accepted_deletes(
     return out
 
 
-def _part_seq_map(out_dir: str) -> dict[int, int]:
+def _part_seq_map(out_dir: str, as_of: str | None = None) -> dict[int, int]:
     """part_id -> 0-based commit-snapshot position (the part's Iceberg
     sequence number), from the chunk index + tail. Compaction preserves
     a part's ORIGINAL seq (rewrites add no part entries), so delete
     applicability never changes across storage maintenance; purge
-    re-encodes under fresh part ids at the purge snapshot's seq."""
+    re-encodes under fresh part ids at the purge snapshot's seq.
+    A WAP-staged snapshot's parts take their sequence from the PUBLISH
+    position (cherry-pick ordering); during an AUDIT read
+    (``as_of`` = the unpublished staged id) they take the sequence
+    they'd receive if published now — above every visible delete, so
+    pre-stage tombstones never erase freshly staged rows."""
     entries = _manifest_entries(out_dir)
-    snaps: list[str] = []
-    for e in entries:
-        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
-            snaps.append(e["snapshot_id"])
-    seq_of = {s: i for i, s in enumerate(snaps)}
+    chain, accepted = _snap_chain(entries, as_of)
+    seq_of = {s: i for i, s in enumerate(chain)}
+    if (as_of is not None and as_of not in seq_of
+            and accepted is not None):
+        # audit read: accepted = stage-point prefix + the staged snap
+        seq_of[as_of] = len(accepted) - 1
     out: dict[int, int] = {}
     for e in entries:
         k = e.get("kind")
@@ -1268,7 +1345,12 @@ def create_ref(out_dir: str, name: str,
     if not snaps:
         raise ValueError(f"no snapshots in {out_dir}")
     if snapshot_id is None:
-        snapshot_id = snaps[-1]
+        # HEAD = the last MAIN-BRANCH snapshot: an unpublished WAP
+        # snapshot's header must never become the implicit ref target
+        chain, _acc = _snap_chain(entries)
+        if not chain:
+            raise ValueError(f"no published snapshots in {out_dir}")
+        snapshot_id = chain[-1]
     elif snapshot_id not in snaps:
         raise ValueError(f"unknown snapshot {snapshot_id!r}")
     if name in snaps:
@@ -1284,6 +1366,60 @@ def drop_ref(out_dir: str, name: str) -> None:
     Manifest(out_dir).append_ref(name, None)
 
 
+def _wap_state(out_dir: str, snapshot_or_ref: str) -> tuple[str, str]:
+    """Resolve to a snapshot id and classify its WAP state:
+    'unstaged' | 'staged' | 'published' | 'aborted'."""
+    sid = _resolve_as_of(out_dir, snapshot_or_ref)
+    entries = _manifest_entries(out_dir)
+    hdr = next((e for e in entries if e.get("kind") == "snapshot"
+                and e.get("snapshot_id") == sid), None)
+    if hdr is None:
+        raise ValueError(f"unknown snapshot {snapshot_or_ref!r}")
+    if not hdr.get("staged"):
+        return sid, "unstaged"
+    for e in entries:
+        if e.get("kind") == "publish" and e.get("snapshot_id") == sid:
+            return sid, ("aborted" if e.get("abort") else "published")
+    return sid, "staged"
+
+
+def publish_snapshot(out_dir: str, snapshot_or_ref: str) -> dict:
+    """PUBLISH a WAP-staged snapshot (Iceberg cherry-pick /
+    fast-forward): after this, HEAD reads include its data, and its
+    main-branch position — hence its parts' Iceberg sequence number —
+    is the publish point, not the stage point. The write-audit-publish
+    workflow: ``encode_files(..., wap_staged=True)`` → audit the result
+    with ``as_of=<staged id>`` (decode, quality checks, row counts) →
+    ``publish_snapshot`` on success or :func:`abort_snapshot` on
+    failure. Audits run on the REAL encoded files — publish moves no
+    bytes, it appends one manifest line."""
+    sid, state = _wap_state(out_dir, snapshot_or_ref)
+    if state == "unstaged":
+        raise ValueError(f"snapshot {sid!r} was not staged (WAP)")
+    if state == "published":
+        raise ValueError(f"snapshot {sid!r} is already published")
+    if state == "aborted":
+        raise ValueError(f"snapshot {sid!r} was aborted; cannot publish")
+    Manifest(out_dir).append_publish(sid)
+    return {"snapshot_id": sid, "published": True}
+
+
+def abort_snapshot(out_dir: str, snapshot_or_ref: str) -> dict:
+    """ABORT a WAP-staged snapshot that failed its audit: it never
+    joins the main branch, audit reads of it start raising, and
+    :func:`vacuum_blocks` reclaims its files."""
+    sid, state = _wap_state(out_dir, snapshot_or_ref)
+    if state == "unstaged":
+        raise ValueError(f"snapshot {sid!r} was not staged (WAP)")
+    if state == "published":
+        raise ValueError(f"snapshot {sid!r} is already published; "
+                         "use delete/purge to remove its rows")
+    if state == "aborted":
+        return {"snapshot_id": sid, "aborted": True}  # idempotent
+    Manifest(out_dir).append_publish(sid, abort=True)
+    return {"snapshot_id": sid, "aborted": True}
+
+
 def _resolve_as_of(out_dir: str, as_of: str | None) -> str | None:
     """Translate a ref name to its snapshot id; snapshot ids (and
     None) pass through."""
@@ -1297,12 +1433,9 @@ def _dirs_needed_at(entries: list[dict], as_of: str) -> set[str]:
     — existence not required. Mirrors _committed_block_files' visibility
     rules with all pruning filters off; used by vacuum to honour
     ref-pinned snapshots."""
-    accepted: set[str] = set()
-    for e in entries:
-        if e.get("kind") == "snapshot":
-            accepted.add(e["snapshot_id"])
-            if e["snapshot_id"] == as_of:
-                break
+    chain, accepted = _snap_chain(entries, as_of)
+    if accepted is None:  # defensive: as_of is always given here
+        accepted = set(chain)
     dirs: set[str] = set()
     for e in entries:
         k = e.get("kind")
@@ -1360,10 +1493,8 @@ def read_changes(
     to_snapshot = _resolve_as_of(out_dir, to_snapshot)
     m = Manifest(out_dir)
     entries = m.read()
-    snaps: list[str] = []
-    for e in entries:
-        if e.get("kind") == "snapshot" and e["snapshot_id"] not in snaps:
-            snaps.append(e["snapshot_id"])
+    snaps, _accepted = _snap_chain(entries)  # main branch only: a WAP-
+    # staged snapshot enters the changelog at its PUBLISH position
     if not snaps:
         raise ValueError(f"no snapshots in {out_dir}")
     if to_snapshot is None:
@@ -1474,14 +1605,7 @@ def _evolution_null_parts(
             entries = m.read()
     else:
         entries = m.read()
-    accepted: set[str] | None = None
-    if as_of is not None:
-        accepted = set()
-        for e in entries:
-            if e.get("kind") == "snapshot":
-                accepted.add(e["snapshot_id"])
-                if e["snapshot_id"] == as_of:
-                    break
+    _chain, accepted = _snap_chain(entries, as_of)
     wanted_p = {int(p) for p in part_ids} if part_ids is not None else None
     # parts whose chunk dir was RETIRED (purge rewrite, new_chunk=None)
     # are dead — their rows live under the purge's own new parts, so
@@ -1590,7 +1714,7 @@ def _apply_evolution_and_deletes(
     # upsert_rows needs. The common case (no append after any pending
     # delete) is detected from manifest metadata alone and keeps the
     # historical key-only anti-join: zero extra plan nodes.
-    part_seq = _part_seq_map(out_dir)
+    part_seq = _part_seq_map(out_dir, as_of)
     min_dseq = min(d[3] for d in deletes)
     scoped = any(s >= min_dseq for s in part_seq.values())
     orig_cols = result.columns

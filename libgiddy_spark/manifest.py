@@ -111,31 +111,59 @@ class Manifest:
             os.fsync(f.fileno())
 
     def write_snapshot_header(
-        self, snapshot_id: str, source_path: str, files: list[dict], num_parts: int
+        self, snapshot_id: str, source_path: str, files: list[dict],
+        num_parts: int, staged: bool = False,
     ) -> None:
+        """``staged=True`` marks a WAP (write-audit-publish) snapshot:
+        its data commits off the main branch — invisible to HEAD reads
+        until :meth:`append_publish` fast-forwards it in (Iceberg
+        staged-snapshot / cherry-pick pattern). Resuming a staged
+        encode keeps the original flag (header written once)."""
         if self.header(snapshot_id) is not None:
             return
+        hdr = {
+            "kind": "snapshot",
+            "snapshot_id": snapshot_id,
+            "source_path": source_path,
+            "num_parts": num_parts,
+            "files": files,
+            "ts": time.time(),
+        }
+        if staged:
+            hdr["staged"] = True
         pre = self._msize()
-        self.append(
-            [
-                {
-                    "kind": "snapshot",
-                    "snapshot_id": snapshot_id,
-                    "source_path": source_path,
-                    "num_parts": num_parts,
-                    "files": files,
-                    "ts": time.time(),
-                }
-            ]
-        )
+        self.append([hdr])
         post = self._msize()
         self._heal_index(pre)
         # slim copy in the chunk index (no files list): time travel's
         # snapshot ORDER must be recoverable from the index alone, even
-        # for snapshots that committed zero chunks
-        self._index_write([
-            {"kind": "snapshot", "snapshot_id": snapshot_id, "mend": post}
-        ])
+        # for snapshots that committed zero chunks. The staged flag MUST
+        # ride along or index-path readers would see a staged snapshot
+        # as published.
+        slim = {"kind": "snapshot", "snapshot_id": snapshot_id, "mend": post}
+        if staged:
+            slim["staged"] = True
+        self._index_write([slim])
+
+    def append_publish(self, snapshot_id: str, abort: bool = False) -> None:
+        """PUBLISH a WAP-staged snapshot onto the main branch (or, with
+        ``abort=True``, declare it dead so vacuum may sweep its files).
+        The snapshot's main-branch position is THIS entry's position —
+        Iceberg cherry-pick ordering — so time travel to snapshots
+        committed between stage and publish never sees the staged rows.
+        Indexed like refs so index-tail readers see branch state."""
+        entry = {
+            "kind": "publish",
+            "snapshot_id": snapshot_id,
+            "ts": time.time(),
+        }
+        if abort:
+            entry["abort"] = True
+        pre = self._msize()
+        self.append([entry])
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
 
     def _msize(self) -> int:
         return os.path.getsize(self.path) if os.path.exists(self.path) else 0
@@ -235,7 +263,7 @@ class Manifest:
         return lines
 
     _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear",
-                      "ref")
+                      "ref", "publish")
 
     def _heal_index(self, upto: int) -> None:
         """Rescue manifest entries in [last index mend, upto) that never
