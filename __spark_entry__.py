@@ -95,6 +95,67 @@ def q_table_changes(spark, sf_dir):
     return read_changes(spark, out, schema, s1)
 
 
+def q_table_wap(spark, sf_dir):
+    """Write-Audit-Publish (round 5, engine.publish_snapshot): encode
+    doc_id<250 (published S1); stage doc_id in [250,375) OFF-BRANCH
+    (``wap_staged=True``), audit it on the real encoded files, reject
+    the batch and ABORT; stage doc_id in [375,500), audit passes,
+    PUBLISH (one manifest line, no data movement). The final HEAD
+    decode must hold exactly S1 + the published stage — staged rows
+    were invisible until publish, and the aborted rows never joined."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from libgiddy_spark.engine import (
+        abort_snapshot,
+        decode_blocks,
+        encode_snapshot,
+        publish_snapshot,
+    )
+    from libgiddy_spark.manifest import Manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="lgs_wap_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "enc")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    encode_snapshot(spark, src, out, key_col="doc_id")
+
+    def _add(name, lo, hi):
+        stage = os.path.join(work, "st_" + name)
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.parquet(stage))
+        part = next(p for p in os.listdir(stage)
+                    if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, name))
+
+    def _last_snap():
+        return [e["snapshot_id"] for e in Manifest(out).read()
+                if e.get("kind") == "snapshot"][-1]
+
+    schema = pq.read_schema(f"{sf_dir}/documents.parquet")
+    _add("zz_b.parquet", 250, 375)
+    encode_snapshot(spark, src, out, key_col="doc_id", wap_staged=True)
+    bad = _last_snap()
+    if decode_blocks(spark, out, schema, as_of=bad).count() != 375:
+        raise AssertionError("WAP audit read must see base + staged")
+    abort_snapshot(out, bad)  # audit rejected the batch
+    os.remove(os.path.join(src, "zz_b.parquet"))  # upstream drops it
+    _add("zz_c.parquet", 375, 500)
+    encode_snapshot(spark, src, out, key_col="doc_id", wap_staged=True)
+    good = _last_snap()
+    if decode_blocks(spark, out, schema, as_of=good).count() != 375:
+        raise AssertionError("WAP audit read must see base + staged")
+    publish_snapshot(out, good)
+    cols = [f.name for f in schema]
+    return decode_blocks(spark, out, schema).select(*cols)
+
+
 def q_roundtrip_multicodec_docs(spark, sf_dir):
     """Stacked per-column forced codecs over documents — FSST symbol
     table (text), dictionary (lang), RLE (source), RPE run-position
@@ -634,20 +695,30 @@ def q_sketch_hll_users(spark, sf_dir):
     return hll_registers(ev, "user_id")
 
 
-def q_sketch_cms_lang(spark, sf_dir):
-    """Count-min sketch state (4 x 64 exact integer cells) over
-    documents.lang."""
-    from libgiddy_spark.pipeline import cms_sketch
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch over documents.lang: the full sketch STATE
+    (4 x 64 exact integer cells as (d_row, bucket, cnt)) plus the
+    point-estimate read path for lang='en' appended as two sentinel
+    rows — (d_row=-1, bucket=-1, cnt=est) and (d_row=-2, bucket=-1,
+    cnt=true_count) — so one query proves both the mergeable state and
+    the est >= true count-min guarantee. (Merged from the round-4
+    sketch_cms_lang + sketch_cms_point queries to keep the driver's
+    50-query correctness window.)"""
+    from libgiddy_spark.pipeline import cms_point_estimate, cms_sketch
 
-    return cms_sketch(_docs(spark, sf_dir), "lang")
-
-
-def q_sketch_cms_point(spark, sf_dir):
-    """Count-min point estimate for lang='en' next to the true count
-    (est >= true by construction; both exact integers)."""
-    from libgiddy_spark.pipeline import cms_point_estimate
-
-    return cms_point_estimate(_docs(spark, sf_dir), "lang", "en")
+    docs = _docs(spark, sf_dir)
+    sk = cms_sketch(docs, "lang")
+    pt = cms_point_estimate(docs, "lang", "en")
+    extra = pt.select(
+        F.lit(-1).cast("int").alias("d_row"),
+        F.lit(-1).cast("int").alias("bucket"),
+        F.col("est_count").alias("cnt"),
+    ).unionAll(pt.select(
+        F.lit(-2).cast("int").alias("d_row"),
+        F.lit(-1).cast("int").alias("bucket"),
+        F.col("true_count").alias("cnt"),
+    ))
+    return sk.unionAll(extra)
 
 
 def q_embedding_ivf_assign(spark, sf_dir):
@@ -826,9 +897,11 @@ _QEMB_CTE = (
 _QDOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) AS BIGINT)"
 
 
-def _cms_point_sql(probe: str) -> str:
-    """Count-min point-estimate oracle: the probe's d cell coordinates
-    are md5-derived in Python exactly as the Spark side derives them."""
+def _cms_sql(probe: str) -> str:
+    """Count-min oracle: the full sketch state UNION the point-estimate
+    sentinel rows (d_row=-1 est, d_row=-2 true count); the probe's d
+    cell coordinates are md5-derived in Python exactly as the Spark
+    side derives them."""
     import hashlib
 
     cells = " OR ".join(
@@ -844,12 +917,13 @@ def _cms_point_sql(probe: str) -> str:
     )
     return (
         f"WITH u AS ({union}), "
-        "cell AS (SELECT d_row, bucket, COUNT(*) AS cnt FROM u "
-        "GROUP BY d_row, bucket), "
-        f"est AS (SELECT MIN(cnt) AS est_count FROM cell WHERE {cells}), "
-        f"tru AS (SELECT COUNT(*) AS true_count FROM documents "
-        f"WHERE lang = '{probe}') "
-        f"SELECT '{probe}' AS probe, est_count, true_count FROM est, tru"
+        "sk AS (SELECT d_row, bucket, COUNT(*) AS cnt FROM u "
+        "GROUP BY d_row, bucket) "
+        "SELECT d_row, bucket, cnt FROM sk "
+        "UNION ALL SELECT -1 AS d_row, -1 AS bucket, "
+        f"(SELECT MIN(cnt) FROM sk WHERE {cells}) AS cnt "
+        "UNION ALL SELECT -2 AS d_row, -1 AS bucket, "
+        f"(SELECT COUNT(*) FROM documents WHERE lang = '{probe}') AS cnt"
     )
 
 
@@ -900,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # left the tail 5 unchecked) — never let a first-run operator sort
     # behind long-green roundtrips.
     return {
+        "table_wap": q_table_wap,
         "table_upsert": q_table_upsert,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_image": q_multimodal_decode_image,
@@ -924,8 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_events": q_delta_stats_events,
         "compression_metrics": q_compression_metrics,
         "sketch_hll_users": q_sketch_hll_users,
-        "sketch_cms_lang": q_sketch_cms_lang,
-        "sketch_cms_point": q_sketch_cms_point,
+        "sketch_cms": q_sketch_cms,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1126,17 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r) t) "
             "SELECT bucket, CAST(MAX(rho) AS INT) AS rho_max "
             "FROM rr GROUP BY bucket",
-        "sketch_cms_lang":
-            "WITH u AS ("
-            + " UNION ALL ".join(
-                f"SELECT {i} AS d_row, CAST(concat('0x', "
-                f"substr(md5(lang || '#{i}'), 1, 6)) AS BIGINT) % 64 "
-                "AS bucket FROM documents"
-                for i in range(4)
-            )
-            + ") SELECT d_row, bucket, COUNT(*) AS cnt "
-            "FROM u GROUP BY d_row, bucket",
-        "sketch_cms_point": _cms_point_sql("en"),
+        "sketch_cms": _cms_sql("en"),
         "text_token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text,' ')) AS n_tokens, "
@@ -1347,6 +1411,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN ka END) AS min_ka, "
             "MAX(CASE WHEN dot > 0 AND dot*dot*10000 >= 6400*na2*nb2 "
             "THEN kb END) AS max_kb FROM lpairs",
+        "table_wap":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE doc_id < 250 OR (doc_id >= 375 AND doc_id < 500)",
         "table_upsert":
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "WHERE doc_id % 100 <> 0 "

@@ -133,6 +133,26 @@ def encode_files(
                 "skipped_done": 0, "encoded_parts": 0, "secs": 0.0}
     num_parts = len(files)
     manifest = Manifest(out_dir)
+    if wap_staged:
+        # a staged ATTEMPT gets its own snapshot id (content id + -wapK):
+        # the same source may be re-staged (or plainly re-encoded) after
+        # an aborted audit, and those are distinct snapshots — reusing
+        # the content id would attach the retry's parts to the aborted
+        # header, hiding them at HEAD forever. An open (staged,
+        # unpublished, unaborted) attempt is resumed, Iceberg-style.
+        entries = manifest.read()
+        hdrs = {e["snapshot_id"]: e for e in entries
+                if e.get("kind") == "snapshot"}
+        closed = {e.get("snapshot_id") for e in entries
+                  if e.get("kind") == "publish"}
+        k = 0
+        while True:
+            cand = f"{snapshot_id}-wap{k}"
+            if cand not in hdrs or (hdrs[cand].get("staged")
+                                    and cand not in closed):
+                snapshot_id = cand
+                break
+            k += 1
     manifest.write_snapshot_header(
         snapshot_id, source_path, _source_files(source_path), num_parts,
         staged=wap_staged,

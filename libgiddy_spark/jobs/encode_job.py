@@ -52,6 +52,11 @@ def main() -> None:
                     help="range = salted range shuffle (north-rule "
                          "shape); direct = zero-row-shuffle per-file "
                          "tasks over row-group slices (scale path)")
+    ap.add_argument("--wap-staged", action="store_true",
+                    help="write-audit-publish: commit the snapshot "
+                         "OFF-BRANCH (invisible to HEAD reads); audit "
+                         "it via --as-of <printed snapshot_id>, then "
+                         "maintain_job --publish or --abort-staged")
     args = ap.parse_args()
 
     from libgiddy_spark.engine import encode_snapshot
@@ -69,6 +74,7 @@ def main() -> None:
         block_rows=args.block_rows,
         columns=args.columns.split(",") if args.columns else None,
         exchange=args.exchange,
+        wap_staged=args.wap_staged,
     )
     print(json.dumps(summary))
 

@@ -63,15 +63,32 @@ def main() -> None:
                          "their snapshot's files from --vacuum")
     ap.add_argument("--drop-ref", default=None, metavar="NAME")
     ap.add_argument("--list-refs", action="store_true")
+    ap.add_argument("--publish", default=None, metavar="SNAP_OR_REF",
+                    help="write-audit-publish: fast-forward a staged "
+                         "snapshot (encode_job --wap-staged) onto the "
+                         "main branch after its audit passed")
+    ap.add_argument("--abort-staged", default=None, metavar="SNAP_OR_REF",
+                    help="declare a staged snapshot's audit failed: "
+                         "it never joins the table and --vacuum "
+                         "reclaims its files")
     args = ap.parse_args()
     if not (args.compact or args.vacuum or args.delete_keys or args.purge
             or args.rewrite_sorted or args.upsert_source
-            or args.create_ref or args.drop_ref or args.list_refs):
+            or args.create_ref or args.drop_ref or args.list_refs
+            or args.publish or args.abort_staged):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
                  "--purge/--rewrite-sorted/--upsert-source/--create-ref/"
-                 "--drop-ref/--list-refs")
+                 "--drop-ref/--list-refs/--publish/--abort-staged")
 
     out: dict = {}
+    if args.publish:
+        from libgiddy_spark.engine import publish_snapshot
+
+        out["publish"] = publish_snapshot(args.encoded, args.publish)
+    if args.abort_staged:
+        from libgiddy_spark.engine import abort_snapshot
+
+        out["abort"] = abort_snapshot(args.encoded, args.abort_staged)
     if args.create_ref:
         from libgiddy_spark.engine import create_ref
 

@@ -62,11 +62,18 @@ class Manifest:
         file_registry), so by default done-ness carries across snapshot
         ids of the same growing table — an appended snapshot re-encodes
         only its new files. Pass ``snapshot_id`` to scope to one
-        snapshot (legacy behavior)."""
+        snapshot (legacy behavior). Parts whose only commit lives in an
+        ABORTED WAP snapshot are NOT done — their source files must be
+        re-encodable after the failed audit, or the rows would be lost
+        forever (skipped as done, yet invisible at HEAD)."""
+        entries = self.read()
+        aborted = {e.get("snapshot_id") for e in entries
+                   if e.get("kind") == "publish" and e.get("abort")}
         return {
             e["part_id"]
-            for e in self.read()
+            for e in entries
             if e.get("status") == "done"
+            and e.get("snapshot_id") not in aborted
             and (snapshot_id is None or e.get("snapshot_id") == snapshot_id)
         }
 

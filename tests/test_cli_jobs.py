@@ -199,3 +199,43 @@ def test_upsert_cli(spark, tmp_path, monkeypatch, capsys):
     got = spark.read.parquet(dst)
     assert got.count() == 500
     assert got.filter("doc_id < 10 AND lang = 'xx'").count() == 10
+
+
+def test_wap_cli(spark, tmp_path, monkeypatch, capsys):
+    """encode_job --wap-staged -> decode --as-of audit -> maintain_job
+    --publish, and the abort path with --abort-staged + --vacuum."""
+    from libgiddy_spark.jobs import decode_job, encode_job, maintain_job
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "wsrc")
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(src)
+    out = str(tmp_path / "wenc")
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id"])
+    capsys.readouterr()
+    stage = str(tmp_path / "wstage")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "zz.parquet"))
+    _run(monkeypatch, encode_job,
+         ["--source", src, "--out", out, "--key-col", "doc_id",
+          "--wap-staged"])
+    staged = _last_json(capsys)["snapshot_id"]
+    assert staged.endswith("-wap0")
+    # HEAD decode excludes the staged snapshot; --as-of audits it
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id"])
+    assert _last_json(capsys)["rows_decoded"] == 250
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id",
+          "--as-of", staged])
+    assert _last_json(capsys)["rows_decoded"] == 500
+    _run(monkeypatch, maintain_job, ["--encoded", out, "--publish", staged])
+    assert _last_json(capsys)["publish"]["published"] is True
+    _run(monkeypatch, decode_job,
+         ["--encoded", out, "--source", src, "--key-col", "doc_id"])
+    assert _last_json(capsys)["rows_decoded"] == 500
+    # abort path: publish of an already-published snapshot fails loudly
+    with pytest.raises(ValueError, match="already published"):
+        _run(monkeypatch, maintain_job,
+             ["--encoded", out, "--abort-staged", staged])

@@ -129,6 +129,23 @@ def test_wap_abort_and_vacuum(spark, tmp_path):
     assert decode_blocks(spark, out, schema).count() == 250
 
 
+def test_wap_reencode_after_abort(spark, tmp_path):
+    """An aborted snapshot's source files become re-encodable again —
+    done-ness must not survive the abort, or the rows would be lost
+    forever (file skipped as done, data invisible at HEAD)."""
+    docs, src, out, schema = _base_table(spark, tmp_path)
+    _append_file(spark, docs, src, tmp_path, "b.parquet", 250, 500)
+    encode_snapshot(spark, src, out, key_col="doc_id", wap_staged=True)
+    staged = _snaps(out)[1]
+    abort_snapshot(out, staged)
+    # same source files, normal encode: b.parquet must re-encode
+    summary = encode_snapshot(spark, src, out, key_col="doc_id")
+    assert summary["encoded_parts"] == 1
+    head = decode_blocks(spark, out, schema)
+    assert head.count() == 500
+    assert head.agg(F.countDistinct("doc_id")).first()[0] == 500
+
+
 def test_wap_errors(spark, tmp_path):
     docs, src, out, schema = _base_table(spark, tmp_path)
     base = _snaps(out)[0]
