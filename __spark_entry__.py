@@ -571,10 +571,24 @@ def q_dedup_lsh_buckets(spark, sf_dir):
     return lsh_buckets(minhash_signatures(_docs(spark, sf_dir)))
 
 
-def q_dedup_near_pairs(spark, sf_dir):
-    from libgiddy_spark.pipeline import dedup_near_pair_stats
+def q_dedup_pair_stats(spark, sf_dir):
+    """Near-dup pair statistics for BOTH tokenizations in one tagged
+    union: word-level MinHash->LSH->exact Jaccard (`method='word'`)
+    and tokenization-free character-5-gram shingles
+    (`method='ngram5'`). One query, two full dedup variants checked."""
+    from libgiddy_spark.pipeline import (
+        dedup_near_pair_stats,
+        ngram_jaccard_stats,
+    )
 
-    return dedup_near_pair_stats(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    a = dedup_near_pair_stats(docs).select(
+        F.lit("word").alias("method"), "*"
+    )
+    b = ngram_jaccard_stats(docs).select(
+        F.lit("ngram5").alias("method"), "*"
+    )
+    return a.unionByName(b)
 
 
 def q_dedup_corpus(spark, sf_dir):
@@ -587,12 +601,54 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Character-5-gram shingle MinHash -> capped LSH -> exact shingle
-    Jaccard (the tokenization-free n-gram dedup variant)."""
-    from libgiddy_spark.pipeline import ngram_jaccard_stats
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (kdb aj / DuckDB ASOF JOIN shape): every click event
+    joined to the same user's most recent purchase at-or-before it.
+    Union-trick implementation — ONE user_id exchange, no join
+    explosion, nulls when no earlier purchase exists."""
+    from libgiddy_spark.pipeline import asof_join
 
-    return ngram_jaccard_stats(_docs(spark, sf_dir))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(left, right, ts="ts", by="user_id",
+                    right_cols=("event_id",), prefix="prev_")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "prev_event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.col("prev_ts_us")).alias("us_since_prev"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval (range) join with NO equi-key, via bucket
+    decomposition: every event landing in a 30-minute window anchored
+    at each event_id % 199 == 0 event, aggregated per window. The
+    bucket equi-join keeps the plan a hash join (cartesian-free)."""
+    from libgiddy_spark.pipeline import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    joined = range_join(
+        ev.select("event_id", "user_id", "ts"), iv,
+        ts="ts", bucket_us=30 * 60 * 1_000_000,
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").alias("sum_uid"),
+        F.max("event_id").alias("max_eid"),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -721,12 +777,20 @@ def q_sketch_cms(spark, sf_dir):
     return sk.unionAll(extra)
 
 
-def q_embedding_ivf_assign(spark, sf_dir):
-    """IVF list assignment (deterministic sampled centroids, max-dot
-    list per vector) — the coarse-quantizer half of the IVF ANN path."""
-    from libgiddy_spark.pipeline import ivf_assign
+def q_embedding_ivf_lists(spark, sf_dir):
+    """Both IVF coarse-quantizer stages in one tagged union: initial
+    list assignment from deterministic sampled centroids
+    (`stage='assign'`) and the assignment after ONE exact-integer
+    Lloyd iteration (`stage='refined'`) — the inverted lists a
+    production IVF index serves from."""
+    from libgiddy_spark.pipeline import ivf_assign, ivf_assign_refined
 
-    return ivf_assign(_embs(spark, sf_dir))
+    embs = _embs(spark, sf_dir)
+    a = ivf_assign(embs).select(F.lit("assign").alias("stage"), "*")
+    b = ivf_assign_refined(embs).select(
+        F.lit("refined").alias("stage"), "*"
+    )
+    return a.unionByName(b)
 
 
 def q_embedding_topk_ivf(spark, sf_dir):
@@ -735,15 +799,6 @@ def q_embedding_topk_ivf(spark, sf_dir):
     from libgiddy_spark.pipeline import topk_neighbors_ivf
 
     return topk_neighbors_ivf(_embs(spark, sf_dir))
-
-
-def q_embedding_ivf_refined(spark, sf_dir):
-    """IVF assignment after ONE Lloyd iteration (element-wise exact
-    integer-mean centroids, truncating division matching DuckDB //) —
-    the refined inverted lists a production IVF index serves from."""
-    from libgiddy_spark.pipeline import ivf_assign_refined
-
-    return ivf_assign_refined(_embs(spark, sf_dir))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -974,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # left the tail 5 unchecked) — never let a first-run operator sort
     # behind long-green roundtrips.
     return {
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "table_wap": q_table_wap,
         "table_upsert": q_table_upsert,
         "multimodal_decode_png": q_multimodal_decode_png,
@@ -1012,23 +1069,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_buckets": q_dedup_lsh_buckets,
-        "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_pair_stats": q_dedup_pair_stats,
         "dedup_corpus": q_dedup_corpus,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_ivf_assign": q_embedding_ivf_assign,
-        "embedding_ivf_refined": q_embedding_ivf_refined,
+        "embedding_ivf_lists": q_embedding_ivf_lists,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "roundtrip_documents":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "table_changes":
@@ -1439,3 +1494,38 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank FROM scored) "
             "SELECT query_id, rank, neighbor_id, qdot FROM r WHERE rank <= 3",
     }
+
+    # Merged tagged-union oracles (two operators per query, one
+    # correctness row each) + the temporal-join oracles.
+    d["dedup_pair_stats"] = (
+        "SELECT 'word' AS method, t.* FROM (" + d.pop("dedup_near_pairs")
+        + ") t UNION ALL SELECT 'ngram5' AS method, t.* FROM ("
+        + d.pop("dedup_ngram_jaccard") + ") t"
+    )
+    d["embedding_ivf_lists"] = (
+        "SELECT 'assign' AS stage, t.* FROM ("
+        + d.pop("embedding_ivf_assign")
+        + ") t UNION ALL SELECT 'refined' AS stage, t.* FROM ("
+        + d.pop("embedding_ivf_refined") + ") t"
+    )
+    d["events_asof_join"] = (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, MAX(event_id) AS prev_event_id "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, l.ts, r.prev_event_id, "
+        "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_prev "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+    d["events_range_join"] = (
+        "WITH iv AS (SELECT event_id AS interval_id, ts AS t0, "
+        "ts + INTERVAL 30 MINUTE AS t1 FROM events "
+        "WHERE event_id % 199 = 0) "
+        "SELECT iv.interval_id, COUNT(*) AS n_events, "
+        "CAST(SUM(e.user_id) AS BIGINT) AS sum_uid, "
+        "MAX(e.event_id) AS max_eid "
+        "FROM iv JOIN events e ON e.ts >= iv.t0 AND e.ts < iv.t1 "
+        "GROUP BY iv.interval_id"
+    )
+    return d

@@ -1,0 +1,168 @@
+"""Temporal joins: as-of join and interval (range) join.
+
+Two classic time-series operators Spark has no built-in for, each
+implemented as a composition of built-in DataFrame ops (no UDF, no
+cartesian product) so Catalyst/AQE keep planning them:
+
+- :func:`asof_join` — for every left row, the most recent right row
+  with ``right.ts <= left.ts`` within the same key (the kdb ``aj`` /
+  pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` shape). Implemented as
+  the union trick: tag the two sides, union them, and take
+  ``last(right_payload, ignorenulls=True)`` over a per-key window
+  ordered by (ts, side). ONE shuffle on the key — the same exchange a
+  plain equi-join would need — and no join explosion at all, so it
+  scales to arbitrarily many right rows per key. Per-key history must
+  sort within one task (the window), which is the operator's inherent
+  scale bound; for a pathological single key holding a large fraction
+  of all rows, pre-bucket by coarse time and carry the last right row
+  across bucket boundaries (not needed for user-keyed web events,
+  where per-key cardinality is bounded).
+
+- :func:`range_join` — join point events to intervals ``[t0, t1)``
+  with NO equi-key, via bucket decomposition: explode each interval
+  into the fixed-width time buckets it covers, map each point to its
+  single bucket, equi-join on the bucket id, then apply the exact
+  range predicate. Each matching (point, interval) pair meets in
+  exactly one bucket (the point's), so no dedup pass is needed. The
+  equi-join gives Catalyst a shuffle key — the plan is a hash join,
+  never a BroadcastNestedLoopJoin/cartesian — and the explode factor
+  is ``ceil(interval_len / bucket)``, so pick ``bucket_us`` near the
+  typical interval length.
+
+Both are integer-exact (µs arithmetic) so results are bit-comparable
+to DuckDB oracles (``ASOF LEFT JOIN`` / ``BETWEEN`` join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _as_micros(col: Column, dtype: str) -> Column:
+    """Epoch-µs long view of a timestamp/long column (integer-exact).
+    TIMESTAMP_NTZ is cast through TIMESTAMP first (unix_micros rejects
+    it); under a UTC session both give wall-clock epoch µs, matching
+    DuckDB's epoch_us over naive timestamps."""
+    if dtype == "timestamp_ntz":
+        col = col.cast("timestamp")
+    elif not dtype.startswith("timestamp"):
+        return col.cast("long")
+    return F.unix_micros(col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str = "ts",
+    by: str = "user_id",
+    right_cols: Sequence[str] = ("event_id",),
+    prefix: str = "prev_",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """As-of LEFT join: every ``left`` row, plus ``right_cols`` from the
+    most recent ``right`` row with ``right.ts <= left.ts`` and equal
+    ``by`` key (nulls when no such row, or when it is older than
+    ``tolerance_us``).
+
+    Determinism: when several right rows share an exact (key, ts), the
+    lexicographically greatest ``right_cols`` tuple wins (a group-by
+    max — mirror it in any oracle).
+
+    Output = all ``left`` columns + ``{prefix}{c}`` for each right col
+    + ``{prefix}ts_us`` (epoch µs of the matched right row, null when
+    unmatched).
+    """
+    ts_l = dict(left.dtypes)[ts]
+    ts_r = dict(right.dtypes)[ts]
+
+    rpay = right.groupBy(by, ts).agg(
+        F.max(F.struct(*right_cols)).alias("_pay")
+    ).select(
+        F.col(by),
+        F.col(ts),
+        F.struct(
+            _as_micros(F.col(ts), ts_r).alias("_rts_us"), F.col("_pay")
+        ).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    lhs = left.withColumn("_side", F.lit(1))
+    u = rpay.unionByName(lhs, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal ts, so ties satisfy
+    # the <= contract; rowsBetween makes last() a running value.
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+
+    match = F.col("_rf")
+    if tolerance_us is not None:
+        age = _as_micros(F.col(ts), ts_l) - F.col("_rf._rts_us")
+        match = F.when(age <= F.lit(int(tolerance_us)), F.col("_rf"))
+
+    out = (
+        filled.where(F.col("_side") == 1)
+        .withColumn("_m", match)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col(f"_m._pay.{c}").alias(f"{prefix}{c}")
+                for c in right_cols
+            ],
+            F.col("_m._rts_us").alias(f"{prefix}ts_us"),
+        )
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    t0: str = "t0",
+    t1: str = "t1",
+    bucket_us: int = 1_800_000_000,  # 30 min
+) -> DataFrame:
+    """Interval join with no equi-key: all (point, interval) pairs with
+    ``t0 <= point.ts < t1`` (half-open). Timestamp or epoch-µs long
+    columns both accepted. Empty/inverted intervals (``t1 <= t0``)
+    match nothing. Output = point columns + interval columns.
+    """
+    b = int(bucket_us)
+    pt_ty = dict(points.dtypes)[ts]
+    iv_ty0 = dict(intervals.dtypes)[t0]
+    iv_ty1 = dict(intervals.dtypes)[t1]
+
+    pts = points.withColumn("_ts_us", _as_micros(F.col(ts), pt_ty))
+    iv = (
+        intervals.withColumn("_t0_us", _as_micros(F.col(t0), iv_ty0))
+        .withColumn("_t1_us", _as_micros(F.col(t1), iv_ty1))
+        .where(F.col("_t1_us") > F.col("_t0_us"))
+        # floor-divide is exact for negative epochs too (pre-1970)
+        .withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_t0_us") / b),
+                    F.floor((F.col("_t1_us") - 1) / b),
+                )
+            ),
+        )
+    )
+    pts = pts.withColumn("_bk", F.floor(F.col("_ts_us") / b))
+    joined = pts.join(iv, "_bk").where(
+        (F.col("_ts_us") >= F.col("_t0_us"))
+        & (F.col("_ts_us") < F.col("_t1_us"))
+    )
+    return joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(c) for c in intervals.columns],
+    )

@@ -1,0 +1,123 @@
+"""As-of join and bucket-decomposed range join: semantics + plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from libgiddy_spark.pipeline import asof_join, range_join
+
+US = 1_000_000
+T0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * US
+
+
+def _ts(us):
+    return dt.datetime.fromtimestamp((T0 + us) / US, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(100 * US)),   # matches right @100 (tie, <=)
+            (2, 10, _ts(250 * US)),   # matches right @200
+            (3, 10, _ts(50 * US)),    # before any right -> null
+            (4, 11, _ts(500 * US)),   # key with no right rows -> null
+            (5, 12, _ts(10_000 * US)),  # match far in the past
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (900, 10, _ts(100 * US)),
+            (901, 10, _ts(200 * US)),
+            (902, 10, _ts(300 * US)),   # later than every left -> unused
+            (903, 12, _ts(0)),
+            (904, 12, _ts(0)),          # duplicate (key, ts): max wins
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(frames):
+    left, right = frames
+    out = asof_join(left, right, ts="ts", by="user_id",
+                    right_cols=("event_id",))
+    got = {r["event_id"]: r["prev_event_id"]
+           for r in out.collect()}
+    assert got == {1: 900, 2: 901, 3: None, 4: None, 5: 904}
+    # all left columns survive; matched ts is reported in micros
+    row = {r["event_id"]: r for r in out.collect()}
+    assert row[2]["prev_ts_us"] == T0 + 200 * US
+    assert row[3]["prev_ts_us"] is None
+
+
+def test_asof_join_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, ts="ts", by="user_id",
+                    right_cols=("event_id",), tolerance_us=60 * US)
+    got = {r["event_id"]: r["prev_event_id"] for r in out.collect()}
+    # event 2 is 50s after right@200 (within 60s); event 5 is 10000s
+    # after right@0 (outside) -> nulled
+    assert got == {1: 900, 2: 901, 3: None, 4: None, 5: None}
+
+
+def test_asof_join_single_exchange(frames):
+    left, right = frames
+    out = asof_join(left, right)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union trick: no join operator at all, one exchange for the window
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides
+
+
+def test_range_join_semantics(spark):
+    points = spark.createDataFrame(
+        [(i, T0 + i * US) for i in range(0, 100, 10)],
+        "pid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, T0 + 5 * US, T0 + 35 * US),    # catches 10,20,30
+            (2, T0 + 30 * US, T0 + 30 * US),   # empty [t,t) -> nothing
+            (3, T0 + 90 * US, T0 + 91 * US),   # half-open: 90 in, 91 out
+            (4, T0 + 200 * US, T0 + 100 * US),  # inverted -> nothing
+        ],
+        "iid long, t0 long, t1 long",
+    )
+    out = range_join(points, intervals, ts="ts", bucket_us=7 * US)
+    pairs = sorted((r["iid"], r["pid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 20), (1, 30), (3, 90)]
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    # one interval spanning MANY buckets must still emit each pair once
+    points = spark.createDataFrame([(1, T0 + 50 * US)], "pid long, ts long")
+    intervals = spark.createDataFrame(
+        [(1, T0, T0 + 1000 * US)], "iid long, t0 long, t1 long"
+    )
+    out = range_join(points, intervals, bucket_us=3 * US)
+    assert out.count() == 1
+
+
+def test_range_join_timestamp_columns_and_plan(spark):
+    points = spark.createDataFrame(
+        [(i, _ts(i * 60 * US)) for i in range(60)], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(k, _ts(k * 600 * US), _ts((k + 1) * 600 * US)) for k in range(6)],
+        "iid long, t0 timestamp, t1 timestamp",
+    )
+    out = range_join(points, intervals, bucket_us=600 * US)
+    assert out.count() == 60
+    per = {r["iid"]: r["cnt"] for r in
+           out.groupBy("iid").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {k: 10 for k in range(6)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
