@@ -869,28 +869,66 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
-def q_multimodal_resize_image(spark, sf_dir):
-    """Decode -> nearest-neighbor resize to 8x4 -> exact stats of the
-    resized image (the thumbnail step; source-index map sx = x*w // 8
-    is integer-exact, so the oracle recomputes every output pixel)."""
-    from libgiddy_spark.pipeline.multimodal import image_resize_stats, synthesize_media
-
-    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="image")
-    return image_resize_stats(media).select(
-        F.col("key").alias("doc_id"), "out_w", "out_h",
-        "sum_v", "min_v", "max_v", "corner_v",
+def q_multimodal_transforms(spark, sf_dir):
+    """Both multimodal TRANSFORM stages in one tagged union:
+    decode -> nearest-neighbor resize to 8x4 with exact pixel stats
+    (`modality='image'`; source-index map sx = x*w // 8 is
+    integer-exact, so the oracle recomputes every output pixel), and
+    decode -> 64-sample frame split with exact per-frame energy stats
+    (`modality='audio'`). Aligned generic columns: d1/d2 = dims
+    (out_w/out_h | n_frames/frame_len), s_min/s_max/s_probe = stat
+    bounds + a positional probe (corner pixel | frame 0), s_sum =
+    total (image only, null for audio)."""
+    from libgiddy_spark.pipeline.multimodal import (
+        audio_frame_stats,
+        image_resize_stats,
+        synthesize_media,
     )
 
+    docs = _docs(spark, sf_dir)
+    img = image_resize_stats(
+        synthesize_media(docs, key="doc_id", kind="image")
+    ).select(
+        F.lit("image").alias("modality"),
+        F.col("key").alias("doc_id"),
+        F.col("out_w").alias("d1"),
+        F.col("out_h").alias("d2"),
+        F.col("sum_v").cast("long").alias("s_sum"),
+        F.col("min_v").cast("long").alias("s_min"),
+        F.col("max_v").cast("long").alias("s_max"),
+        F.col("corner_v").cast("long").alias("s_probe"),
+    )
+    aud = audio_frame_stats(
+        synthesize_media(docs, key="doc_id", kind="audio")
+    ).select(
+        F.lit("audio").alias("modality"),
+        F.col("key").alias("doc_id"),
+        F.col("n_frames").alias("d1"),
+        F.lit(64).cast("int").alias("d2"),
+        F.lit(None).cast("long").alias("s_sum"),
+        F.col("min_frame_sum").cast("long").alias("s_min"),
+        F.col("max_frame_sum").cast("long").alias("s_max"),
+        F.col("frame0_sum").cast("long").alias("s_probe"),
+    )
+    return img.unionByName(aud)
 
-def q_multimodal_audio_frames(spark, sf_dir):
-    """Decode -> 64-sample frame split (tail kept) -> exact per-frame
-    energy stats (the frame-sample step of an audio pipeline)."""
-    from libgiddy_spark.pipeline.multimodal import audio_frame_stats, synthesize_media
 
-    media = synthesize_media(_docs(spark, sf_dir), key="doc_id", kind="audio")
-    return audio_frame_stats(media).select(
-        F.col("key").alias("doc_id"), "n_frames",
-        "max_frame_sum", "min_frame_sum", "frame0_sum",
+def q_events_rollup_cascade(spark, sf_dir):
+    """Hypertable rollup cascade (TimescaleDB continuous-aggregate
+    shape): events aggregated once into 15-minute buckets, then hour
+    and day levels derived by re-aggregating the finer level's
+    partials — the raw table is scanned exactly once; coarser levels
+    cost O(buckets), the materialized-rollup pattern at 100 TB."""
+    from libgiddy_spark.pipeline import hypertable_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hypertable_rollup(
+        ev,
+        ts="ts",
+        sum_cols=("user_id",),
+        min_cols=("event_id",),
+        max_cols=("event_id",),
+        levels_us=(900_000_000, 3_600_000_000, 86_400_000_000),
     )
 
 
@@ -1036,8 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_image": q_multimodal_decode_image,
         "multimodal_decode_audio": q_multimodal_decode_audio,
-        "multimodal_resize_image": q_multimodal_resize_image,
-        "multimodal_audio_frames": q_multimodal_audio_frames,
+        "events_rollup_cascade": q_events_rollup_cascade,
+        "multimodal_transforms": q_multimodal_transforms,
         "table_changes": q_table_changes,
         "roundtrip_multicodec_docs": q_roundtrip_multicodec_docs,
         "roundtrip_multicodec_keys": q_roundtrip_multicodec_keys,
@@ -1517,6 +1555,28 @@ def oracle_sql() -> dict[str, str]:
         "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_prev "
         "FROM l ASOF LEFT JOIN r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+    d["multimodal_transforms"] = (
+        "SELECT 'image' AS modality, doc_id, out_w AS d1, out_h AS d2, "
+        "sum_v AS s_sum, CAST(min_v AS BIGINT) AS s_min, "
+        "CAST(max_v AS BIGINT) AS s_max, "
+        "CAST(corner_v AS BIGINT) AS s_probe FROM ("
+        + d.pop("multimodal_resize_image")
+        + ") t UNION ALL SELECT 'audio' AS modality, doc_id, "
+        "n_frames AS d1, CAST(64 AS INT) AS d2, "
+        "CAST(NULL AS BIGINT) AS s_sum, min_frame_sum AS s_min, "
+        "max_frame_sum AS s_max, frame0_sum AS s_probe FROM ("
+        + d.pop("multimodal_audio_frames") + ") t"
+    )
+    _LVLS = (900_000_000, 3_600_000_000, 86_400_000_000)
+    d["events_rollup_cascade"] = " UNION ALL ".join(
+        f"SELECT CAST({w} AS BIGINT) AS level_us, "
+        f"(epoch_us(ts) // {w}) * {w} AS bucket_us, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(user_id) AS BIGINT) AS sum_user_id, "
+        "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id "
+        f"FROM events GROUP BY (epoch_us(ts) // {w}) * {w}"
+        for w in _LVLS
     )
     d["events_range_join"] = (
         "WITH iv AS (SELECT event_id AS interval_id, ts AS t0, "

@@ -42,7 +42,11 @@ from .similarity import (  # noqa: F401
 )
 from .sampling import mix_report, stratified_sample  # noqa: F401
 from .sessions import sessionize  # noqa: F401
-from .temporal import asof_join, range_join  # noqa: F401
+from .temporal import (  # noqa: F401
+    asof_join,
+    hypertable_rollup,
+    range_join,
+)
 from .sketch import (  # noqa: F401
     cms_point_estimate,
     cms_sketch,

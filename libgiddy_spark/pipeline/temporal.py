@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "hypertable_rollup", "range_join"]
 
 
 def _as_micros(col: Column, dtype: str) -> Column:
@@ -120,6 +120,78 @@ def asof_join(
             F.col("_m._rts_us").alias(f"{prefix}ts_us"),
         )
     )
+    return out
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    levels_us: Sequence[int] = (900_000_000, 3_600_000_000,
+                                86_400_000_000),
+) -> DataFrame:
+    """Multi-resolution time-bucket rollup (the TimescaleDB
+    hypertable / continuous-aggregate cascade): aggregate raw rows
+    into the FINEST bucket width once, then derive every coarser level
+    by re-aggregating the finer level's partials — count, sum, min and
+    max all compose, so each coarser level costs O(buckets of the
+    previous level), never a second scan of the raw table. At 100 TB
+    the raw scan happens exactly once; the hour/day/month levels
+    aggregate a frame that is already orders of magnitude smaller
+    (and in production would be the materialized finest rollup).
+
+    ``levels_us`` must be ascending and each level an exact multiple
+    of the previous one, so bucket floors compose exactly
+    (``floor(floor(t/L0)*L0 / L) == floor(t/L)`` when ``L0 | L``).
+
+    Output: one row per (level_us, bucket_us) with ``n_events`` +
+    ``sum_/min_/max_`` columns — integer-exact, oracle-comparable.
+    """
+    lv = [int(x) for x in levels_us]
+    if sorted(lv) != lv:
+        raise ValueError("levels_us must be ascending")
+    # each level re-aggregates the PREVIOUS one, so it must be an
+    # exact multiple of it for bucket floors to compose
+    for fine_w, coarse_w in zip(lv, lv[1:]):
+        if coarse_w % fine_w:
+            raise ValueError(
+                f"level {coarse_w} is not a multiple of {fine_w}"
+            )
+
+    ts_ty = dict(df.dtypes)[ts]
+    base = df.withColumn("_tu", _as_micros(F.col(ts), ts_ty))
+
+    fine = (
+        base.groupBy(
+            (F.floor(F.col("_tu") / lv[0]) * lv[0]).alias("bucket_us")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        )
+    )
+    out = fine.select(F.lit(lv[0]).alias("level_us"), "*")
+    prev = fine
+    for width in lv[1:]:
+        prev = (
+            prev.groupBy(
+                (F.floor(F.col("bucket_us") / width) * width)
+                .alias("bucket_us")
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+                *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+            )
+        )
+        out = out.unionByName(
+            prev.select(F.lit(width).alias("level_us"), "*")
+        )
     return out
 
 

@@ -7,7 +7,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from libgiddy_spark.pipeline import asof_join, range_join
+from libgiddy_spark.pipeline import asof_join, hypertable_rollup, range_join
 
 US = 1_000_000
 T0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * US
@@ -103,6 +103,45 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
     )
     out = range_join(points, intervals, bucket_us=3 * US)
     assert out.count() == 1
+
+
+def test_hypertable_rollup_cascade_matches_direct(spark):
+    # 1000 events over ~3 days; cascade (10s -> 60s -> 3600s) must be
+    # IDENTICAL to grouping the raw rows directly at each level
+    rows = [(i, (i * 7919) % 100, T0 + i * 250 * US) for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, uid long, ts long")
+    lv = (10 * US, 60 * US, 3600 * US)
+    out = hypertable_rollup(
+        df, ts="ts", sum_cols=("uid",), min_cols=("event_id",),
+        max_cols=("event_id",), levels_us=lv,
+    )
+    got = {(r["level_us"], r["bucket_us"]):
+           (r["n_events"], r["sum_uid"], r["min_event_id"],
+            r["max_event_id"])
+           for r in out.collect()}
+    import collections
+    for width in lv:
+        direct = collections.defaultdict(lambda: [0, 0, None, None])
+        for eid, uid, ts in rows:
+            b = (ts // width) * width
+            d = direct[b]
+            d[0] += 1
+            d[1] += uid
+            d[2] = eid if d[2] is None else min(d[2], eid)
+            d[3] = eid if d[3] is None else max(d[3], eid)
+        for b, d in direct.items():
+            assert got[(width, b)] == tuple(d), (width, b)
+    assert len(got) == sum(
+        len({(ts // w) * w for _, _, ts in rows}) for w in lv
+    )
+
+
+def test_hypertable_rollup_rejects_bad_levels(spark):
+    df = spark.createDataFrame([(1, T0)], "event_id long, ts long")
+    with pytest.raises(ValueError):
+        hypertable_rollup(df, levels_us=(10 * US, 25 * US))
+    with pytest.raises(ValueError):
+        hypertable_rollup(df, levels_us=(60 * US, 10 * US))
 
 
 def test_range_join_timestamp_columns_and_plan(spark):
