@@ -153,6 +153,22 @@ def encode_files(
                 snapshot_id = cand
                 break
             k += 1
+    else:
+        # re-encoding a source whose content snapshot was ROLLED BACK
+        # would resume its done parts under the hidden header — data
+        # invisible at HEAD forever. Roll forward instead (one line,
+        # no re-encode). Index+tail read: headers/rollbacks are indexed.
+        entries = _manifest_entries(out_dir)
+        if any(e.get("kind") == "snapshot"
+               and e.get("snapshot_id") == snapshot_id for e in entries):
+            stv = _branch_replay(entries)
+            if (snapshot_id in stv.parent
+                    and snapshot_id not in set(stv.visible())):
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} for this source exists "
+                    "but was undone by a rollback — use "
+                    f"rollback({out_dir!r}, {snapshot_id!r}) to roll "
+                    "forward to it instead of re-encoding")
     manifest.write_snapshot_header(
         snapshot_id, source_path, _source_files(source_path), num_parts,
         staged=wap_staged,
@@ -510,11 +526,11 @@ def compact_blocks(
     blocks_root = os.path.join(out_dir, "blocks")
     m = Manifest(out_dir)
     entries = m.read()
-    # HEAD = last MAIN-BRANCH snapshot: the rewrite entry must commit
-    # under a snapshot id HEAD readers accept, never an unpublished
-    # WAP-staged header
-    hchain, _hacc = _snap_chain(entries)
-    head_snapshot = hchain[-1] if hchain else None
+    # HEAD = last VISIBLE main-branch snapshot: the rewrite entry must
+    # commit under a snapshot id HEAD readers accept — never an
+    # unpublished WAP-staged header, nor a rolled-back commit
+    hvis = _branch_replay(entries).visible()
+    head_snapshot = hvis[-1] if hvis else None
     if head_snapshot is None:
         return {"bins": 0, "files_before": 0, "files_after": 0}
     live = _committed_block_files(out_dir)
@@ -655,13 +671,19 @@ def vacuum_blocks(
     # (Iceberg branch retention): dirs and delete files a retained
     # snapshot still needs survive vacuum; age out of the retention
     # window (or drop the ref) to expire them on the next vacuum.
-    chain, _acc = _snap_chain(all_entries)
+    bstate = _branch_replay(all_entries)
+    chain = bstate.chain
     ts_of = {e["snapshot_id"]: e.get("ts", 0.0)
              for e in all_entries if e.get("kind") == "snapshot"}
     # retention window counts MAIN-BRANCH snapshots (publish order);
     # unpublished WAP-staged snapshots are pinned unconditionally —
     # they are awaiting audit, not aging out. Aborted ones are swept.
+    # After a rollback the CURRENT snapshot may sit outside the
+    # newest-N window — it is always retained (Iceberg never expires
+    # the current snapshot).
     retained = set(chain[-max(1, int(retain_last)):])
+    if bstate.current is not None:
+        retained.add(bstate.current)
     if older_than is not None:
         retained |= {sid for sid in chain
                      if ts_of.get(sid, 0.0) >= older_than}
@@ -787,10 +809,74 @@ def _snap_chain(
       snapshot — the AUDIT read: the main chain as of the stage point
       plus the staged snapshot itself.
     """
-    chain: list[str] = []
+    st = _branch_replay(entries)
+    if as_of is None:
+        dirty = st.staged_parent or st.aborted or st.has_rollback
+        accepted = set(st.visible()) if dirty else None
+        return st.chain, accepted
+    if as_of in st.staged_parent:  # audit read: unpublished staged snap
+        return st.chain, set(st.vis_at(st.staged_parent[as_of])) | {as_of}
+    if as_of in st.aborted:
+        raise ValueError(
+            f"snapshot {as_of!r} was a WAP-staged snapshot that was "
+            "aborted — its data never joined the table")
+    if as_of not in st.parent:
+        raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
+    return st.chain, set(st.vis_at(as_of))
+
+
+class _BranchState:
+    """Replayed manifest branch state (see :func:`_branch_replay`).
+
+    Visibility is stored as PARENT POINTERS: when a snapshot joins the
+    branch, its parent is whatever snapshot was current then, so the
+    visible set at any snapshot is its parent path — O(1) per commit
+    regardless of how many rollbacks the manifest holds."""
+
+    __slots__ = ("chain", "parent", "current", "staged_parent",
+                 "aborted", "has_rollback")
+
+    def __init__(self) -> None:
+        self.chain: list[str] = []        # full commit order (seq nums)
+        self.parent: dict[str, str | None] = {}
+        self.current: str | None = None   # last visible commit (HEAD)
+        self.staged_parent: dict[str, str | None] = {}  # unpublished WAP
+        self.aborted: set[str] = set()
+        self.has_rollback = False
+
+    def vis_at(self, sid: str | None) -> list[str]:
+        """Visible snapshot list right after ``sid`` joined (commit
+        order): sid's parent path. ``None`` = empty table."""
+        out: list[str] = []
+        while sid is not None:
+            out.append(sid)
+            sid = self.parent[sid]
+        out.reverse()
+        return out
+
+    def visible(self) -> list[str]:
+        """Commits a HEAD read sees, in commit order."""
+        return self.vis_at(self.current)
+
+
+def _branch_replay(entries: list[dict]) -> _BranchState:
+    """Replay snapshot/publish/rollback entries into branch state.
+
+    ``chain`` is the FULL main-branch commit order — a part/delete's
+    Iceberg sequence number stays its position here even after a
+    rollback hides it. A ``rollback`` entry to snapshot S makes S the
+    current snapshot (visible set = S's parent path — the state when S
+    joined), so rolling back and rolling FORWARD to a previously
+    rolled-back snapshot (Iceberg ``set_current_snapshot``) are the
+    same operation; later commits chain onto S."""
+    st = _BranchState()
     seen: set[str] = set()
-    staged_pos: dict[str, int] = {}   # unpublished staged -> stage point
-    aborted: set[str] = set()
+
+    def _join(sid: str) -> None:
+        st.chain.append(sid)
+        st.parent[sid] = st.current
+        st.current = sid
+
     for e in entries:
         k = e.get("kind")
         if k == "snapshot":
@@ -799,30 +885,25 @@ def _snap_chain(
                 continue
             seen.add(sid)
             if e.get("staged"):
-                staged_pos[sid] = len(chain)
+                st.staged_parent[sid] = st.current
             else:
-                chain.append(sid)
+                _join(sid)
         elif k == "publish":
             sid = e.get("snapshot_id")
-            if sid not in staged_pos or sid in aborted:
+            if sid not in st.staged_parent or sid in st.aborted:
                 continue  # unknown / double entry: writer-validated
             if e.get("abort"):
-                aborted.add(sid)
+                st.aborted.add(sid)
             else:
-                chain.append(sid)
-            staged_pos.pop(sid)
-    if as_of is None:
-        accepted = set(chain) if (staged_pos or aborted) else None
-        return chain, accepted
-    if as_of in staged_pos:  # audit read of an unpublished staged snap
-        return chain, set(chain[: staged_pos[as_of]]) | {as_of}
-    if as_of in aborted:
-        raise ValueError(
-            f"snapshot {as_of!r} was a WAP-staged snapshot that was "
-            "aborted — its data never joined the table")
-    if as_of not in seen or as_of not in chain:
-        raise ValueError(f"unknown snapshot id for time travel: {as_of!r}")
-    return chain, set(chain[: chain.index(as_of) + 1])
+                _join(sid)
+            st.staged_parent.pop(sid)
+        elif k == "rollback":
+            to = e.get("to")
+            if to in st.parent:
+                st.current = to
+                st.has_rollback = True
+            # else: writer-validated; a reader skips a bad entry
+    return st
 
 
 def _committed_block_files(
@@ -1365,12 +1446,13 @@ def create_ref(out_dir: str, name: str,
     if not snaps:
         raise ValueError(f"no snapshots in {out_dir}")
     if snapshot_id is None:
-        # HEAD = the last MAIN-BRANCH snapshot: an unpublished WAP
-        # snapshot's header must never become the implicit ref target
-        chain, _acc = _snap_chain(entries)
-        if not chain:
+        # HEAD = the last VISIBLE main-branch snapshot: an unpublished
+        # WAP header or a rolled-back commit must never become the
+        # implicit ref target
+        vis = _branch_replay(entries).visible()
+        if not vis:
             raise ValueError(f"no published snapshots in {out_dir}")
-        snapshot_id = chain[-1]
+        snapshot_id = vis[-1]
     elif snapshot_id not in snaps:
         raise ValueError(f"unknown snapshot {snapshot_id!r}")
     if name in snaps:
@@ -1438,6 +1520,45 @@ def abort_snapshot(out_dir: str, snapshot_or_ref: str) -> dict:
         return {"snapshot_id": sid, "aborted": True}  # idempotent
     Manifest(out_dir).append_publish(sid, abort=True)
     return {"snapshot_id": sid, "aborted": True}
+
+
+def rollback(out_dir: str, snapshot_or_ref: str) -> dict:
+    """Iceberg ``rollback_to`` / ``set_current_snapshot``: make the
+    given snapshot (or ref target) the CURRENT snapshot. HEAD reads —
+    decode, compaction, upsert parents, refs-at-HEAD — rewind to the
+    exact state when it committed; the undone snapshots stay in the
+    manifest for time travel (their files are never rewrite-replaced,
+    so vacuum does not reclaim them) and the table history keeps every
+    commit. Rolling FORWARD to a snapshot a previous rollback hid is
+    the same operation. One manifest line, no data movement.
+
+    Changelog consumers must reset after a rollback: a
+    :func:`read_changes` window that spans undone snapshots raises
+    (the changelog cannot express un-inserts), so resume from a
+    snapshot at or before the rollback target."""
+    sid = _resolve_as_of(out_dir, snapshot_or_ref)
+    entries = _manifest_entries(out_dir)
+    st = _branch_replay(entries)
+    if sid in st.staged_parent:
+        raise ValueError(
+            f"snapshot {sid!r} is WAP-staged and unpublished — publish "
+            "or abort it; rollback targets main-branch commits only")
+    if sid in st.aborted:
+        raise ValueError(f"snapshot {sid!r} was aborted; its data "
+                         "never joined the table")
+    if sid not in st.parent:
+        raise ValueError(f"unknown snapshot {snapshot_or_ref!r}")
+    if st.current == sid:
+        return {"current_snapshot": sid, "changed": False}
+    before = st.visible()
+    after = st.vis_at(sid)
+    Manifest(out_dir).append_rollback(sid)
+    return {
+        "current_snapshot": sid,
+        "changed": True,
+        "hidden": [s for s in before if s not in set(after)],
+        "restored": [s for s in after if s not in set(before)],
+    }
 
 
 def _resolve_as_of(out_dir: str, as_of: str | None) -> str | None:
@@ -1513,12 +1634,16 @@ def read_changes(
     to_snapshot = _resolve_as_of(out_dir, to_snapshot)
     m = Manifest(out_dir)
     entries = m.read()
-    snaps, _accepted = _snap_chain(entries)  # main branch only: a WAP-
-    # staged snapshot enters the changelog at its PUBLISH position
+    bstate = _branch_replay(entries)  # main branch only: a WAP-staged
+    # snapshot enters the changelog at its PUBLISH position
+    snaps = bstate.chain
     if not snaps:
         raise ValueError(f"no snapshots in {out_dir}")
     if to_snapshot is None:
-        to_snapshot = snaps[-1]
+        vis = bstate.visible()
+        if not vis:
+            raise ValueError(f"no visible snapshots in {out_dir}")
+        to_snapshot = vis[-1]
     if to_snapshot not in snaps:
         raise ValueError(f"unknown to_snapshot {to_snapshot!r}")
     i1 = snaps.index(to_snapshot)
@@ -1533,6 +1658,19 @@ def read_changes(
                 f"to_snapshot {to_snapshot!r} precedes since_snapshot "
                 f"{since_snapshot!r}")
         window = snaps[i0 + 1 : i1 + 1]
+    if bstate.has_rollback:
+        # the changelog cannot express un-inserts: a window touching
+        # snapshots a rollback hid would replay rows that are no
+        # longer live — fail loud, consumers reset to a snapshot at
+        # or before the rollback target
+        vis_now = set(bstate.vis_at(to_snapshot))
+        hidden = [s for s in window if s not in vis_now]
+        if hidden or (since_snapshot is not None
+                      and since_snapshot not in vis_now):
+            raise ValueError(
+                "changelog window spans snapshots undone by a rollback "
+                f"({hidden or [since_snapshot]}) — reset the consumer "
+                "to a snapshot at or before the rollback target")
     seq_of = {s: i + 1 for i, s in enumerate(window)}
     purge_snaps = {
         e.get("snapshot_id") for e in entries

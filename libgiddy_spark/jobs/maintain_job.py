@@ -71,16 +71,25 @@ def main() -> None:
                     help="declare a staged snapshot's audit failed: "
                          "it never joins the table and --vacuum "
                          "reclaims its files")
+    ap.add_argument("--rollback", default=None, metavar="SNAP_OR_REF",
+                    help="make this snapshot CURRENT (Iceberg "
+                         "rollback_to / set_current_snapshot); undone "
+                         "snapshots stay time-travelable history")
     args = ap.parse_args()
     if not (args.compact or args.vacuum or args.delete_keys or args.purge
             or args.rewrite_sorted or args.upsert_source
             or args.create_ref or args.drop_ref or args.list_refs
-            or args.publish or args.abort_staged):
+            or args.publish or args.abort_staged or args.rollback):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
                  "--purge/--rewrite-sorted/--upsert-source/--create-ref/"
-                 "--drop-ref/--list-refs/--publish/--abort-staged")
+                 "--drop-ref/--list-refs/--publish/--abort-staged/"
+                 "--rollback")
 
     out: dict = {}
+    if args.rollback:
+        from libgiddy_spark.engine import rollback
+
+        out["rollback"] = rollback(args.encoded, args.rollback)
     if args.publish:
         from libgiddy_spark.engine import publish_snapshot
 

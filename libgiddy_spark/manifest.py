@@ -172,6 +172,23 @@ class Manifest:
         self._heal_index(pre)
         self._index_write([{**entry, "mend": post}])
 
+    def append_rollback(self, to_snapshot: str) -> None:
+        """Make ``to_snapshot`` the CURRENT snapshot (Iceberg
+        rollback_to / set_current_snapshot): HEAD reads rewind to the
+        state when it committed; later snapshots stay in history for
+        time travel until retention expires them. Indexed like publish
+        so index-tail readers see branch state."""
+        entry = {
+            "kind": "rollback",
+            "to": to_snapshot,
+            "ts": time.time(),
+        }
+        pre = self._msize()
+        self.append([entry])
+        post = self._msize()
+        self._heal_index(pre)
+        self._index_write([{**entry, "mend": post}])
+
     def _msize(self) -> int:
         return os.path.getsize(self.path) if os.path.exists(self.path) else 0
 
@@ -270,7 +287,7 @@ class Manifest:
         return lines
 
     _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear",
-                      "ref", "publish")
+                      "ref", "publish", "rollback")
 
     def _heal_index(self, upto: int) -> None:
         """Rescue manifest entries in [last index mend, upto) that never

@@ -1,0 +1,148 @@
+"""Iceberg-style METADATA TABLES over the engine's manifest: the
+`SELECT * FROM tbl.snapshots / .history / .refs / .files` surface a
+lakehouse user expects for debugging, auditing and operational
+tooling.
+
+snapshots/history read the FULL manifest (the slim index headers drop
+timestamps and part counts); files reads the O(chunks) summary index.
+Metadata-scale driver parsing either way, exactly like Iceberg's own
+metadata tables walk manifest lists, never the data files — and every
+table returns an ordinary DataFrame so it composes with any query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .engine import _branch_replay, _manifest_entries, list_refs
+from .manifest import Manifest
+
+__all__ = ["files_df", "history_df", "refs_df", "snapshots_df"]
+
+
+def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """One row per snapshot header (Iceberg ``tbl.snapshots``):
+    ``committed_at_us``, ``snapshot_id``, ``parent_id`` (main-branch
+    parent at join; null for the first commit / unjoined), ``state``
+    (``current`` | ``ancestor`` | ``orphaned`` = in history but not
+    visible at HEAD, e.g. rolled back | ``staged`` | ``aborted``) and
+    ``num_parts``."""
+    entries = Manifest(out_dir).read()
+    st = _branch_replay(entries)
+    visible = set(st.visible())
+    rows = []
+    seen: set[str] = set()
+    for e in entries:
+        if e.get("kind") != "snapshot" or e["snapshot_id"] in seen:
+            continue
+        sid = e["snapshot_id"]
+        seen.add(sid)
+        if sid == st.current:
+            state = "current"
+        elif sid in visible:
+            state = "ancestor"
+        elif sid in st.aborted:
+            state = "aborted"
+        elif sid in st.staged_parent:
+            state = "staged"
+        else:
+            state = "orphaned"
+        rows.append((
+            int(e.get("ts", 0.0) * 1_000_000),
+            sid,
+            st.parent.get(sid, st.staged_parent.get(sid)),
+            state,
+            int(e.get("num_parts", 0)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "committed_at_us long, snapshot_id string, parent_id string, "
+        "state string, num_parts int",
+    )
+
+
+def history_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """One row per time a snapshot became CURRENT (Iceberg
+    ``tbl.history``): main-branch joins in commit order plus every
+    rollback event, with ``is_current_ancestor`` false for commits a
+    later rollback undid (the lineage HEAD no longer descends from)."""
+    entries = Manifest(out_dir).read()
+    st = _branch_replay(entries)
+    visible = set(st.visible())
+    rows = []
+    cur: str | None = None
+    joined: set[str] = set()
+    for e in entries:
+        k = e.get("kind")
+        if k == "snapshot" and not e.get("staged"):
+            sid = e["snapshot_id"]
+            if sid in joined:
+                continue
+            joined.add(sid)
+            cur = sid
+        elif k == "publish" and not e.get("abort") \
+                and e.get("snapshot_id") in st.parent \
+                and e.get("snapshot_id") not in joined:
+            sid = e["snapshot_id"]
+            joined.add(sid)
+            cur = sid
+        elif k == "rollback" and e.get("to") in joined:
+            sid = e["to"]
+            cur = sid
+        else:
+            continue
+        rows.append((
+            int(e.get("ts", 0.0) * 1_000_000),
+            cur,
+            cur in visible,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "made_current_at_us long, snapshot_id string, "
+        "is_current_ancestor boolean",
+    )
+
+
+def refs_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Live named refs (Iceberg ``tbl.refs``)."""
+    return spark.createDataFrame(
+        sorted(list_refs(out_dir).items()),
+        "name string, snapshot_id string",
+    )
+
+
+def files_df(spark: SparkSession, out_dir: str,
+             as_of: str | None = None) -> DataFrame:
+    """One row per (chunk, part) visible at ``as_of`` (default HEAD) —
+    Iceberg ``tbl.files``: owning snapshot, chunk dir, part id, row
+    count and the manifest-level sort-key zone bounds data skipping
+    prunes on. Built from the O(chunks) summary index."""
+    from .engine import _resolve_as_of, _snap_chain
+
+    entries = _manifest_entries(out_dir)
+    _chain, accepted = _snap_chain(
+        entries, _resolve_as_of(out_dir, as_of))
+    rows = []
+    for e in entries:
+        if e.get("kind") != "chunk":
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue
+        part_rows = e.get("part_rows") or {}
+        for pid in e.get("parts", ()):
+            rows.append((
+                e.get("snapshot_id"),
+                e.get("chunk_dir"),
+                int(pid),
+                int(part_rows.get(str(pid), -1)),
+                e.get("key_lo"),
+                e.get("key_hi"),
+                e.get("key_lo_s"),
+                e.get("key_hi_s"),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id string, chunk_dir string, part_id int, "
+        "row_count long, key_lo long, key_hi long, "
+        "key_lo_s string, key_hi_s string",
+    )
