@@ -786,6 +786,62 @@ def vacuum_blocks(
     return {"removed": removed, "expired_staged": sorted(orphans)}
 
 
+def remove_orphan_files(out_dir: str, grace_s: float = 3600.0) -> dict:
+    """Iceberg ``remove_orphan_files``: delete on-disk files NO manifest
+    entry references — debris of crashed jobs (``_tmp_*`` encode/compact
+    staging, chunk dirs renamed but never committed, ``_tmp-delete-*``
+    tombstone staging, delete files whose manifest append was lost).
+
+    Referenced-ness is the only criterion: every ``chunk_dir`` named by
+    any part/chunk/rewrite entry (including ``replaces`` — vacuum owns
+    replaced-dir expiry, not this op) and every delete ``file`` stay
+    untouched, so HEAD reads, time travel and WAP audits are unaffected
+    by construction. ``grace_s`` guards racing an in-flight writer:
+    only files idle longer than the grace window are swept (pass 0 in
+    tests / single-writer maintenance windows)."""
+    m = Manifest(out_dir)
+    entries = m.read()
+    referenced: set[str] = set()
+    for e in entries:
+        for k in ("chunk_dir", "new_chunk"):
+            if e.get(k):
+                referenced.add(e[k])
+        referenced.update(e.get("replaces", ()) or ())
+        if e.get("kind") == "delete" and e.get("file"):
+            referenced.add(os.path.basename(e["file"]))
+    now = time.time()
+
+    def _idle(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= grace_s
+        except OSError:
+            return False
+
+    removed: list[str] = []
+    blocks_root = os.path.join(out_dir, "blocks")
+    if os.path.isdir(blocks_root):
+        for d in sorted(os.listdir(blocks_root)):
+            full = os.path.join(blocks_root, d)
+            if not os.path.isdir(full) or d in referenced:
+                continue
+            if not _idle(full):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(os.path.join("blocks", d))
+    ddir = os.path.join(out_dir, "deletes")
+    if os.path.isdir(ddir):
+        for f in sorted(os.listdir(ddir)):
+            full = os.path.join(ddir, f)
+            if f in referenced or not _idle(full):
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+            removed.append(os.path.join("deletes", f))
+    return {"removed": removed}
+
+
 def _snap_chain(
     entries: list[dict], as_of: str | None = None,
 ) -> tuple[list[str], set[str] | None]:

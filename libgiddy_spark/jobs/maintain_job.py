@@ -71,6 +71,13 @@ def main() -> None:
                     help="declare a staged snapshot's audit failed: "
                          "it never joins the table and --vacuum "
                          "reclaims its files")
+    ap.add_argument("--remove-orphans", action="store_true",
+                    help="delete on-disk files no manifest entry "
+                         "references (crashed-job debris); referenced "
+                         "files are untouched by construction")
+    ap.add_argument("--orphan-grace-s", type=float, default=3600.0,
+                    help="only sweep files idle this long (racing-"
+                         "writer guard)")
     ap.add_argument("--rollback", default=None, metavar="SNAP_OR_REF",
                     help="make this snapshot CURRENT (Iceberg "
                          "rollback_to / set_current_snapshot); undone "
@@ -79,13 +86,19 @@ def main() -> None:
     if not (args.compact or args.vacuum or args.delete_keys or args.purge
             or args.rewrite_sorted or args.upsert_source
             or args.create_ref or args.drop_ref or args.list_refs
-            or args.publish or args.abort_staged or args.rollback):
+            or args.publish or args.abort_staged or args.rollback
+            or args.remove_orphans):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
                  "--purge/--rewrite-sorted/--upsert-source/--create-ref/"
                  "--drop-ref/--list-refs/--publish/--abort-staged/"
-                 "--rollback")
+                 "--rollback/--remove-orphans")
 
     out: dict = {}
+    if args.remove_orphans:
+        from libgiddy_spark.engine import remove_orphan_files
+
+        out["remove_orphans"] = remove_orphan_files(
+            args.encoded, grace_s=args.orphan_grace_s)
     if args.rollback:
         from libgiddy_spark.engine import rollback
 
