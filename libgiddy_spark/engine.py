@@ -1319,8 +1319,13 @@ def _part_seq_map(out_dir: str, as_of: str | None = None) -> dict[int, int]:
     seq_of = {s: i for i, s in enumerate(chain)}
     if (as_of is not None and as_of not in seq_of
             and accepted is not None):
-        # audit read: accepted = stage-point prefix + the staged snap
-        seq_of[as_of] = len(accepted) - 1
+        # audit read of an unpublished staged snap: the sequence it
+        # would receive if published NOW — the end of the full chain,
+        # above every visible part and delete. (Not len(accepted)-1:
+        # after a rollback, visible commits can hold chain positions
+        # far beyond the visible COUNT, and a delete among them would
+        # out-sequence — i.e. erase — the freshly staged rows.)
+        seq_of[as_of] = len(chain)
     out: dict[int, int] = {}
     for e in entries:
         k = e.get("kind")

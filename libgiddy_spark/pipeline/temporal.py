@@ -78,6 +78,11 @@ def asof_join(
     + ``{prefix}ts_us`` (epoch µs of the matched right row, null when
     unmatched).
     """
+    reserved = {"_side", "_r", "_rf", "_m", "_pay"}
+    bad = reserved & set(left.columns)
+    if bad:
+        raise ValueError(f"left columns collide with asof_join "
+                         f"internals: {sorted(bad)}")
     ts_l = dict(left.dtypes)[ts]
     ts_r = dict(right.dtypes)[ts]
 
@@ -208,6 +213,11 @@ def range_join(
     columns both accepted. Empty/inverted intervals (``t1 <= t0``)
     match nothing. Output = point columns + interval columns.
     """
+    dup = set(points.columns) & set(intervals.columns)
+    if dup:
+        raise ValueError(
+            f"points and intervals share column names {sorted(dup)} — "
+            "rename one side (the output carries both frames' columns)")
     b = int(bucket_us)
     pt_ty = dict(points.dtypes)[ts]
     iv_ty0 = dict(intervals.dtypes)[t0]

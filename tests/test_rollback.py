@@ -148,6 +148,40 @@ def test_changelog_guard_spanning_rollback(spark, tmp_path):
     assert ch.count() == 200
 
 
+def test_wap_audit_seq_above_deletes_after_rollback(spark, tmp_path):
+    """A WAP audit read after rollback + post-rollback delete: the
+    staged parts' sequence must sit ABOVE the visible delete (chain
+    end), or the tombstone would erase the freshly staged rows."""
+    from libgiddy_spark.engine import encode_files
+    from libgiddy_spark.table_io import list_parquet_files
+
+    out, src, schema = _three_snapshot_table(spark, tmp_path)
+    s1, s2, s3 = _snaps(out)
+    rollback(out, s1)
+    _grow(spark, tmp_path, out, src, 400, 450, "d")      # s4 (seq 3)
+    delete_rows(out, "doc_id", [5])                      # s5 (seq 4)
+    assert decode_blocks(spark, out, schema).count() == 249
+    # stage a source that re-adds doc_id 5
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wsrc = str(tmp_path / "wap_src")
+    docs.filter(F.col("doc_id").isin([5])).coalesce(1) \
+        .write.parquet(wsrc)
+    encode_files(spark, wsrc, list_parquet_files(wsrc), out,
+                 key_col="doc_id", wap_staged=True)
+    staged = next(e["snapshot_id"] for e in
+                  reversed(list(_manifest_entries_list(out)))
+                  if e.get("kind") == "snapshot" and e.get("staged"))
+    audit = decode_blocks(spark, out, schema, as_of=staged)
+    ids = [r["doc_id"] for r in audit.collect()]
+    assert ids.count(5) == 1  # staged row survives the older tombstone
+
+
+def _manifest_entries_list(out):
+    from libgiddy_spark.manifest import Manifest
+
+    return Manifest(out).read()
+
+
 def test_reencode_of_rolled_back_source_raises(spark, tmp_path):
     out, src, schema = _three_snapshot_table(spark, tmp_path)
     s1, _s2, s3 = _snaps(out)
