@@ -472,12 +472,16 @@ def make_direct_encoder(
     return encode_tasks
 
 
-def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
+def decode_group(table: pa.Table, schema: pa.Schema,
+                 column_map: dict[str, str] | None = None) -> pa.Table:
     """Decode one (part_id, salt) group of block rows back to source rows.
 
     Blocks are ordered by (column, block_seq); per-column decoded chunks
     concatenate into full columns whose row alignment is guaranteed by
-    identical chunking at encode time.
+    identical chunking at encode time. ``column_map`` translates a
+    block's PHYSICAL column name to its current logical name (schema
+    RENAME evolution: renames never rewrite data, so blocks written
+    before one keep the old name).
     """
     table = table.sort_by([("column", "ascending"), ("block_seq", "ascending")])
     cols_present = table.column("column").to_pylist()
@@ -485,6 +489,8 @@ def decode_group(table: pa.Table, schema: pa.Schema) -> pa.Table:
     wanted = {f.name for f in schema}
     by_col: dict[str, list[pa.Array]] = {}
     for name, payload in zip(cols_present, payloads):
+        if column_map is not None:
+            name = column_map.get(name, name)
         if name not in wanted:  # projection: don't decode dropped columns
             continue
         by_col.setdefault(name, []).append(decode_array(payload))

@@ -169,6 +169,21 @@ def encode_files(
                     "but was undone by a rollback — use "
                     f"rollback({out_dir!r}, {snapshot_id!r}) to roll "
                     "forward to it instead of re-encoding")
+    # record/extend the TABLE SCHEMA registry (schema_evo) BEFORE the
+    # header, so this snapshot reads under the schema it was written
+    # with; a grown source's new columns register as add-column
+    # evolution. Skipped columns (projection encode) stay unregistered.
+    import pyarrow.parquet as _pq
+
+    from .schema_evo import ensure_schema_baseline
+    from .table_io import abs_file_of as _abs_of
+
+    _src_schema = _pq.read_schema(_abs_of(source_path, files[0][0]))
+    if columns is not None:
+        _src_schema = pa.schema(
+            [_src_schema.field(c) for c in _src_schema.names
+             if c in set(columns)])
+    ensure_schema_baseline(out_dir, _src_schema)
     manifest.write_snapshot_header(
         snapshot_id, source_path, _source_files(source_path), num_parts,
         staged=wap_staged,
@@ -1895,6 +1910,7 @@ def _apply_evolution_and_deletes(
     part_ids,
     as_of,
     may_have_rows: bool,
+    column_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shared decode tail: union schema-evolution null rows, then apply
     equality-delete anti-joins. One definition for both the normal and
@@ -1944,6 +1960,10 @@ def _apply_evolution_and_deletes(
             sorted(part_seq.items()), "part_id int, _part_seq int")
         result = result.join(F.broadcast(pseq_df), "part_id", "left")
     for dfile, dkey, n_keys, dseq in deletes:
+        # a delete written before a RENAME tombstones under the old
+        # name: its file column stays dkey, the decoded frame carries
+        # the logical name
+        res_key = (column_map or {}).get(dkey, dkey)
         if not os.path.exists(dfile):
             # time travel between a delete and its purge after vacuum
             # removed the cleared delete file: fail with the same loud
@@ -1954,25 +1974,26 @@ def _apply_evolution_and_deletes(
                 f"{os.path.basename(dfile)!r}, which was removed "
                 "(vacuumed/expired)"
             )
-        if dkey not in orig_cols:
+        if res_key not in orig_cols:
             raise ValueError(
                 f"equality-delete file {dfile!r} tombstones on column "
-                f"{dkey!r}, which the projection excludes — include it "
-                "so merge-on-read can apply (or purge deletes first)"
+                f"{res_key!r}, which the projection excludes — include "
+                "it so merge-on-read can apply (or purge deletes first)"
             )
         if scoped:
             tomb = spark.read.parquet(dfile).select(
                 F.col(dkey).alias("_tomb_key")).distinct()
             tomb = (tomb.hint("shuffle_hash") if n_keys > bcast_max
                     else F.broadcast(tomb))
-            cond = ((F.col(dkey) == F.col("_tomb_key"))
+            cond = ((F.col(res_key) == F.col("_tomb_key"))
                     & (F.col("_part_seq") < F.lit(int(dseq))))
             result = result.join(tomb, cond, "left_anti")
         else:
-            tomb = spark.read.parquet(dfile).select(F.col(dkey)).distinct()
+            tomb = spark.read.parquet(dfile).select(
+                F.col(dkey).alias(res_key)).distinct()
             tomb = (tomb.hint("shuffle_hash") if n_keys > bcast_max
                     else F.broadcast(tomb))
-            result = result.join(tomb, dkey, "left_anti")
+            result = result.join(tomb, res_key, "left_anti")
     if scoped:
         result = result.select(*orig_cols)
     return result
@@ -1987,8 +2008,14 @@ def decode_blocks(
     key_range_s: tuple[str, str] | None = None,
     key_point=None,
     as_of: str | None = None,
+    column_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Blocks -> original rows (+ part_id), SHUFFLE-FREE.
+
+    ``column_map`` (physical block-column name -> logical output name)
+    serves schema RENAME evolution (schema_evo.read_table builds it):
+    blocks keep the name they were encoded under; the block filter
+    matches physical names and decode_group emits logical ones.
 
     Every encode task writes exactly one parquet file holding whole,
     contiguous (part_id, salt) groups (range exchange + JVM sort at
@@ -2051,19 +2078,21 @@ def decode_blocks(
         f"`{f.name}` {_spark_type_of(f.type)}" for f in schema
     )
     ddl = out_fields + ", part_id int"
-    wanted_cols_set = {f.name for f in schema}
+    wanted_cols_set = (set(column_map) if column_map
+                       else {f.name for f in schema})
     if not files:
         # a fully-pruned listing must still honor schema evolution and
         # deletes — the same shared tail as the main path
         return _apply_evolution_and_deletes(
             spark, spark.createDataFrame([], ddl), out_dir, schema,
             wanted_cols_set, part_ids, as_of, may_have_rows=False,
+            column_map=column_map,
         )
     wanted = sorted(int(p) for p in part_ids) if part_ids is not None else None
     krange = (int(key_range[0]), int(key_range[1])) if key_range is not None else None
     krange_s = (str(key_range_s[0]), str(key_range_s[1])) if key_range_s is not None else None
 
-    wanted_cols = sorted(f.name for f in schema)
+    wanted_cols = sorted(wanted_cols_set)
 
     def decode_stream(batches):
         import numpy as np
@@ -2209,11 +2238,12 @@ def decode_blocks(
                     # decode every COMPLETE group; the trailing group may
                     # continue into the next row group, so hold it back
                     for s, e in zip(bounds[:-2], bounds[1:-1]):
-                        out = decode_group(buf.slice(s, e - s), schema)
+                        out = decode_group(buf.slice(s, e - s), schema,
+                                           column_map)
                         yield from out.to_batches()
                     pend = buf.slice(bounds[-2]).combine_chunks()
                 if pend is not None and pend.num_rows:
-                    out = decode_group(pend, schema)
+                    out = decode_group(pend, schema, column_map)
                     yield from out.to_batches()
 
     # one TASK may stream several block files (the loop above): cap the
@@ -2231,7 +2261,7 @@ def decode_blocks(
     result = pdf.mapInArrow(decode_stream, schema=ddl)
     return _apply_evolution_and_deletes(
         spark, result, out_dir, schema, set(wanted_cols), part_ids,
-        as_of, may_have_rows=True,
+        as_of, may_have_rows=True, column_map=column_map,
     )
 
 

@@ -21,7 +21,15 @@ import sys
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--encoded", required=True)
-    ap.add_argument("--source", required=True)
+    ap.add_argument("--source", default=None,
+                    help="source snapshot (schema + --verify oracle); "
+                         "optional with --table-schema")
+    ap.add_argument("--table-schema", action="store_true",
+                    help="resolve the schema from the table's OWN "
+                         "registry (schema_evo): current names after "
+                         "renames, dropped columns gone, added columns "
+                         "null-filled; --as-of reads under that "
+                         "snapshot's schema")
     ap.add_argument("--key-col", required=True)
     ap.add_argument("--out", default=None, help="write decoded rows here")
     ap.add_argument("--verify", action="store_true")
@@ -63,6 +71,13 @@ def main() -> None:
         ap.error("--changes-since composes only with --columns/--out")
     if args.consume_checkpoint is not None and not args.out:
         ap.error("--consume-checkpoint requires --out")
+    if args.table_schema and (args.changes_since is not None
+                              or args.consume_checkpoint is not None):
+        ap.error("--table-schema composes with the plain decode path "
+                 "only (changelog windows carry their own schema)")
+    if not args.table_schema and not args.source:
+        ap.error("pass --source (schema + verify oracle) or "
+                 "--table-schema (registry-resolved)")
 
     import pyarrow.parquet as pq
 
@@ -71,13 +86,21 @@ def main() -> None:
     from libgiddy_spark.table_io import list_parquet_files
 
     spark = build_spark("libgiddy-spark-decode")
-    first_rel = list_parquet_files(args.source)[0][0]
-    schema_path = (
-        args.source
-        if os.path.isfile(args.source)
-        else os.path.join(args.source, first_rel)
-    )
-    schema = pq.read_schema(schema_path)
+    column_map = None
+    if args.table_schema:
+        from libgiddy_spark.schema_evo import table_schema
+
+        schema, phys, _retired = table_schema(args.encoded, args.as_of)
+        column_map = {pn: logical for logical in schema.names
+                      for pn in phys.get(logical, [logical])}
+    else:
+        first_rel = list_parquet_files(args.source)[0][0]
+        schema_path = (
+            args.source
+            if os.path.isfile(args.source)
+            else os.path.join(args.source, first_rel)
+        )
+        schema = pq.read_schema(schema_path)
     full_schema = schema
     if args.columns:
         proj = args.columns.split(",")
@@ -92,6 +115,10 @@ def main() -> None:
         import pyarrow as pa_mod
 
         schema = pa_mod.schema([schema.field(c) for c in proj])
+        if column_map is not None:
+            keep = set(proj)
+            column_map = {pn: lg for pn, lg in column_map.items()
+                          if lg in keep}
     import pyarrow as pa
 
     from pyspark.sql import functions as F
@@ -157,7 +184,7 @@ def main() -> None:
         kpoint, kpoint_lit = _typed(args.key_point)
     dec = decode_blocks(spark, args.encoded, schema, key_range=krange,
                         key_range_s=krange_s, key_point=kpoint,
-                        as_of=args.as_of)
+                        as_of=args.as_of, column_map=column_map)
 
     def _exact(df):
         # pruning is block-granular: apply the exact predicate so --out
@@ -173,6 +200,8 @@ def main() -> None:
     if args.out:
         dec.write.mode("overwrite").parquet(args.out)
     if args.verify:
+        if not args.source:
+            ap.error("--verify needs --source as the oracle")
         src = _exact(spark.read.parquet(args.source))
         if args.columns:
             src = src.select(*[f.name for f in schema])

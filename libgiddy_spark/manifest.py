@@ -287,7 +287,7 @@ class Manifest:
         return lines
 
     _INDEXED_KINDS = ("snapshot", "rewrite", "delete", "delete_clear",
-                      "ref", "publish", "rollback")
+                      "ref", "publish", "rollback", "schema")
 
     def _heal_index(self, upto: int) -> None:
         """Rescue manifest entries in [last index mend, upto) that never
