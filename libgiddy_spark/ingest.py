@@ -1,0 +1,80 @@
+"""Non-parquet SOURCE ingestion: CSV / JSON-lines -> canonical parquet
+staging -> the (parquet-native) encode engine.
+
+The encode paths are parquet-native by design — the direct path slices
+ROW GROUPS from footers and the manifest registers file identities, so
+formats without row-group structure stage through one distributed
+conversion pass first (exactly what an Iceberg `add_files`/CTAS does
+for text sources). The staging write is the ONLY extra pass: Spark
+reads the text source once (schema enforced, never inferred — inference
+samples the data and can silently flip a column's type between runs),
+writes canonical parquet, and :func:`ingest_snapshot` encodes that
+staging directory as a normal snapshot — resume, skew salting, schema
+registry, every downstream feature applies unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["ingest_snapshot", "stage_text_source"]
+
+_FORMATS = ("csv", "jsonl")
+
+
+def stage_text_source(
+    spark: SparkSession,
+    source_path: str,
+    fmt: str,
+    schema_ddl: str,
+    staging_dir: str,
+    partitions: int | None = None,
+    csv_header: bool = True,
+) -> str:
+    """Read a CSV / JSON-lines source under an EXPLICIT schema and write
+    canonical parquet staging. Returns ``staging_dir``. ``partitions``
+    caps the staged file count (defaults to the source's natural read
+    splits — at 100 TB leave it unset so the conversion stays one
+    narrow, shuffle-free map per input split)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    if fmt == "csv":
+        df = spark.read.schema(schema_ddl).option(
+            "header", "true" if csv_header else "false").csv(source_path)
+    else:
+        df = spark.read.schema(schema_ddl).json(source_path)
+    if partitions is not None:
+        df = df.coalesce(int(partitions))
+    df.write.mode("error").parquet(staging_dir)
+    return staging_dir
+
+
+def ingest_snapshot(
+    spark: SparkSession,
+    source_path: str,
+    fmt: str,
+    schema_ddl: str,
+    out_dir: str,
+    key_col: str,
+    staging_dir: str | None = None,
+    partitions: int | None = None,
+    csv_header: bool = True,
+    **encode_kwargs,
+) -> dict:
+    """CSV/JSONL source -> staged parquet -> encoded snapshot. The
+    staging dir (default ``<out_dir>/_staging/<basename>``) becomes the
+    snapshot's source: re-running with the same staged content resumes
+    like any encode."""
+    from .engine import encode_snapshot
+
+    if staging_dir is None:
+        base = os.path.basename(os.path.normpath(source_path)) or "src"
+        staging_dir = os.path.join(out_dir, "_staging", base)
+    if not os.path.isdir(staging_dir):
+        stage_text_source(spark, source_path, fmt, schema_ddl,
+                          staging_dir, partitions, csv_header)
+    summary = encode_snapshot(spark, staging_dir, out_dir,
+                              key_col=key_col, **encode_kwargs)
+    return {**summary, "staging_dir": staging_dir, "format": fmt}

@@ -52,19 +52,41 @@ def main() -> None:
                     help="range = salted range shuffle (north-rule "
                          "shape); direct = zero-row-shuffle per-file "
                          "tasks over row-group slices (scale path)")
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "csv", "jsonl"),
+                    help="source format; csv/jsonl stage through ONE "
+                         "distributed parquet conversion (requires "
+                         "--schema-ddl) before the parquet-native "
+                         "encode")
+    ap.add_argument("--schema-ddl", default=None,
+                    help="explicit source schema for --format csv/jsonl "
+                         "(inference is non-deterministic; refused)")
     ap.add_argument("--wap-staged", action="store_true",
                     help="write-audit-publish: commit the snapshot "
                          "OFF-BRANCH (invisible to HEAD reads); audit "
                          "it via --as-of <printed snapshot_id>, then "
                          "maintain_job --publish or --abort-staged")
     args = ap.parse_args()
+    if args.format != "parquet" and not args.schema_ddl:
+        ap.error(f"--format {args.format} requires --schema-ddl")
 
     from libgiddy_spark.engine import encode_snapshot
 
     spark = build_spark("libgiddy-spark-encode")
+    source = args.source
+    if args.format != "parquet":
+        from libgiddy_spark.ingest import stage_text_source
+
+        import os as _os
+        base = _os.path.basename(_os.path.normpath(source)) or "src"
+        staging = _os.path.join(args.out, "_staging", base)
+        if not _os.path.isdir(staging):
+            stage_text_source(spark, source, args.format,
+                              args.schema_ddl, staging)
+        source = staging
     summary = encode_snapshot(
         spark,
-        args.source,
+        source,
         args.out,
         key_col=args.key_col,
         chunk_parts=args.chunk_parts,
