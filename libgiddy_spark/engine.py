@@ -1608,10 +1608,11 @@ def rollback(out_dir: str, snapshot_or_ref: str) -> dict:
     commit. Rolling FORWARD to a snapshot a previous rollback hid is
     the same operation. One manifest line, no data movement.
 
-    Changelog consumers must reset after a rollback: a
-    :func:`read_changes` window that spans undone snapshots raises
-    (the changelog cannot express un-inserts), so resume from a
-    snapshot at or before the rollback target."""
+    :func:`read_changes` windows follow the target snapshot's LINEAGE,
+    so commits made after the rollback stay readable; a consumer whose
+    checkpoint was itself undone gets a loud off-lineage error (the
+    changelog cannot express un-inserts) and must reset to a snapshot
+    at or before the rollback target."""
     sid = _resolve_as_of(out_dir, snapshot_or_ref)
     entries = _manifest_entries(out_dir)
     st = _branch_replay(entries)
@@ -1722,31 +1723,27 @@ def read_changes(
         to_snapshot = vis[-1]
     if to_snapshot not in snaps:
         raise ValueError(f"unknown to_snapshot {to_snapshot!r}")
-    i1 = snaps.index(to_snapshot)
+    # the window walks to_snapshot's LINEAGE (its parent path), not the
+    # raw commit chain: snapshots a rollback undid are not ancestors of
+    # `to`, so their inserts never replay, and commits made AFTER a
+    # rollback (which sit past the undone ones in raw chain order but
+    # chain directly onto the rollback target) stay readable. A `since`
+    # off that lineage means the consumer's checkpoint was undone — the
+    # changelog cannot express un-inserts, so fail loud and reset.
+    lineage = bstate.vis_at(to_snapshot)
     if since_snapshot is None:
-        window = snaps[: i1 + 1]
+        window = lineage
     else:
         if since_snapshot not in snaps:
             raise ValueError(f"unknown since_snapshot {since_snapshot!r}")
-        i0 = snaps.index(since_snapshot)
-        if i1 < i0:
+        if since_snapshot not in lineage:
             raise ValueError(
-                f"to_snapshot {to_snapshot!r} precedes since_snapshot "
-                f"{since_snapshot!r}")
-        window = snaps[i0 + 1 : i1 + 1]
-    if bstate.has_rollback:
-        # the changelog cannot express un-inserts: a window touching
-        # snapshots a rollback hid would replay rows that are no
-        # longer live — fail loud, consumers reset to a snapshot at
-        # or before the rollback target
-        vis_now = set(bstate.vis_at(to_snapshot))
-        hidden = [s for s in window if s not in vis_now]
-        if hidden or (since_snapshot is not None
-                      and since_snapshot not in vis_now):
-            raise ValueError(
-                "changelog window spans snapshots undone by a rollback "
-                f"({hidden or [since_snapshot]}) — reset the consumer "
-                "to a snapshot at or before the rollback target")
+                f"since_snapshot {since_snapshot!r} is not on the "
+                f"lineage of {to_snapshot!r} (undone by a rollback, or "
+                "later than it) — reset the consumer to a snapshot at "
+                "or before the rollback target")
+        i0 = lineage.index(since_snapshot)
+        window = lineage[i0 + 1:]
     seq_of = {s: i + 1 for i, s in enumerate(window)}
     purge_snaps = {
         e.get("snapshot_id") for e in entries

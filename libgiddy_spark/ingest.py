@@ -19,9 +19,25 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["ingest_snapshot", "stage_text_source"]
+__all__ = ["default_staging_dir", "ingest_snapshot", "stage_text_source"]
 
 _FORMATS = ("csv", "jsonl")
+
+
+def default_staging_dir(out_dir: str, source_path: str) -> str:
+    base = os.path.basename(os.path.normpath(source_path)) or "src"
+    return os.path.join(out_dir, "_staging", base)
+
+
+def _staging_state(staging_dir: str) -> str:
+    """'absent' | 'complete' (Spark _SUCCESS marker) | 'partial'
+    (exists without the marker — a crashed staging write; encoding it
+    would silently commit partial rows)."""
+    if not os.path.isdir(staging_dir):
+        return "absent"
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        return "complete"
+    return "partial"
 
 
 def stage_text_source(
@@ -70,9 +86,14 @@ def ingest_snapshot(
     from .engine import encode_snapshot
 
     if staging_dir is None:
-        base = os.path.basename(os.path.normpath(source_path)) or "src"
-        staging_dir = os.path.join(out_dir, "_staging", base)
-    if not os.path.isdir(staging_dir):
+        staging_dir = default_staging_dir(out_dir, source_path)
+    state = _staging_state(staging_dir)
+    if state == "partial":
+        raise ValueError(
+            f"staging dir {staging_dir!r} exists without a _SUCCESS "
+            "marker (a crashed staging write) — remove it and re-run; "
+            "encoding it would silently commit partial rows")
+    if state == "absent":
         stage_text_source(spark, source_path, fmt, schema_ddl,
                           staging_dir, partitions, csv_header)
     summary = encode_snapshot(spark, staging_dir, out_dir,

@@ -75,12 +75,18 @@ def main() -> None:
     spark = build_spark("libgiddy-spark-encode")
     source = args.source
     if args.format != "parquet":
-        from libgiddy_spark.ingest import stage_text_source
+        from libgiddy_spark.ingest import (
+            _staging_state,
+            default_staging_dir,
+            stage_text_source,
+        )
 
-        import os as _os
-        base = _os.path.basename(_os.path.normpath(source)) or "src"
-        staging = _os.path.join(args.out, "_staging", base)
-        if not _os.path.isdir(staging):
+        staging = default_staging_dir(args.out, source)
+        state = _staging_state(staging)
+        if state == "partial":
+            ap.error(f"staging dir {staging} is a crashed partial "
+                     "write (no _SUCCESS) — remove it and re-run")
+        if state == "absent":
             stage_text_source(spark, source, args.format,
                               args.schema_ddl, staging)
         source = staging

@@ -122,24 +122,40 @@ def files_df(spark: SparkSession, out_dir: str,
     entries = _manifest_entries(out_dir)
     _chain, accepted = _snap_chain(
         entries, _resolve_as_of(out_dir, as_of))
-    rows = []
+    # mirror _committed_block_files' rewrite remap: a compaction moves
+    # its replaced dirs' rows under new_chunk; a purge/sorted rewrite
+    # (new_chunk=None) RETIRES them — their rows live under the
+    # rewrite's own chunk entries, so keeping both would double-count
+    by_dir: dict[str, list[list]] = {}
+    rewrites: list[dict] = []
     for e in entries:
-        if e.get("kind") != "chunk":
-            continue
+        k = e.get("kind")
         if accepted is not None and e.get("snapshot_id") not in accepted:
             continue
-        part_rows = e.get("part_rows") or {}
-        for pid in e.get("parts", ()):
-            rows.append((
-                e.get("snapshot_id"),
-                e.get("chunk_dir"),
-                int(pid),
-                int(part_rows.get(str(pid), -1)),
-                e.get("key_lo"),
-                e.get("key_hi"),
-                e.get("key_lo_s"),
-                e.get("key_hi_s"),
-            ))
+        if k == "chunk":
+            part_rows = e.get("part_rows") or {}
+            for pid in e.get("parts", ()):
+                by_dir.setdefault(e["chunk_dir"], []).append([
+                    e.get("snapshot_id"),
+                    e.get("chunk_dir"),
+                    int(pid),
+                    int(part_rows.get(str(pid), -1)),
+                    e.get("key_lo"),
+                    e.get("key_hi"),
+                    e.get("key_lo_s"),
+                    e.get("key_hi_s"),
+                ])
+        elif k == "rewrite":
+            rewrites.append(e)
+    for rw in rewrites:
+        moved: list[list] = []
+        for d in rw.get("replaces", ()):
+            moved.extend(by_dir.pop(d, []))
+        if moved and rw.get("new_chunk"):
+            for r in moved:
+                r[1] = rw["new_chunk"]
+            by_dir.setdefault(rw["new_chunk"], []).extend(moved)
+    rows = [tuple(r) for rs in by_dir.values() for r in rs]
     return spark.createDataFrame(
         rows,
         "snapshot_id string, chunk_dir string, part_id int, "

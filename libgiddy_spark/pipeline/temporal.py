@@ -218,6 +218,12 @@ def range_join(
         raise ValueError(
             f"points and intervals share column names {sorted(dup)} — "
             "rename one side (the output carries both frames' columns)")
+    reserved = {"_bk", "_ts_us", "_t0_us", "_t1_us"}
+    bad = reserved & (set(points.columns) | set(intervals.columns))
+    if bad:
+        raise ValueError(
+            f"input columns collide with range_join internals: "
+            f"{sorted(bad)}")
     b = int(bucket_us)
     pt_ty = dict(points.dtypes)[ts]
     iv_ty0 = dict(intervals.dtypes)[t0]

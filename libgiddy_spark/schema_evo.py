@@ -155,6 +155,10 @@ def evolve_schema(
             raise ValueError(f"cannot drop unknown column {old!r}")
         if old in rename or old in add:
             raise ValueError(f"column {old!r} both dropped and re-used")
+    targets = list(rename.values()) + list(add)
+    if len(set(targets)) != len(targets):
+        raise ValueError(
+            f"duplicate target names in one evolution: {sorted(targets)}")
     for old, new in rename.items():
         if old not in live:
             raise ValueError(f"cannot rename unknown column {old!r}")

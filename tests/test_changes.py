@@ -111,8 +111,8 @@ def test_changes_bad_window_raises(spark, tmp_path):
     s1, s2, _s3 = _snaps(out)
     with pytest.raises(ValueError, match="unknown since_snapshot"):
         read_changes(spark, out, schema, "nope")
-    with pytest.raises(ValueError, match="precedes"):
-        read_changes(spark, out, schema, s2, s1)
+    with pytest.raises(ValueError, match="lineage"):
+        read_changes(spark, out, schema, s2, s1)  # to precedes since
     # empty window: empty frame with the contract schema
     ch = read_changes(spark, out, schema, s1, s1)
     assert ch.count() == 0

@@ -55,6 +55,21 @@ def test_ingest_resume_skips_staged(spark, tmp_path):
     assert r2["skipped_done"] >= 1
 
 
+def test_partial_staging_raises(spark, tmp_path):
+    """A crashed staging write (dir without _SUCCESS) must fail loud,
+    never be silently encoded as a partial snapshot."""
+    import os
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.json(src)
+    out = str(tmp_path / "enc")
+    staging = os.path.join(out, "_staging", "src")
+    os.makedirs(staging)  # exists, no _SUCCESS marker
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        ingest_snapshot(spark, src, "jsonl", DDL, out, key_col="doc_id")
+
+
 def test_ingest_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         ingest_snapshot(spark, str(tmp_path), "xml", DDL,

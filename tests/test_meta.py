@@ -99,6 +99,38 @@ def test_refs_df(spark, table):
     assert refs["meta_tag"] == s1
 
 
+def test_files_follows_rewrite_lineage(spark, tmp_path_factory):
+    """After purge (retire rewrite) and compaction (move rewrite),
+    files_df must not double-count retired chunks, and its rows must
+    live under the consolidated dir."""
+    from pyspark.sql import functions as F
+
+    from libgiddy_spark.engine import (
+        compact_blocks,
+        delete_rows,
+        purge_deletes,
+    )
+
+    tmp = tmp_path_factory.mktemp("meta_rw")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp / "src")
+    docs.filter(F.col("doc_id") < 200).coalesce(1).write.parquet(src)
+    out = str(tmp / "enc")
+    encode_snapshot(spark, src, out, key_col="doc_id")
+    delete_rows(out, "doc_id", [5, 6])
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    purge_deletes(spark, out, schema, key_col="doc_id")
+    total = sum(r["row_count"] for r in files_df(spark, out).collect())
+    assert total == decode_blocks(spark, out, schema).count() == 198
+    compact_blocks(spark, out, min_dirs=1, target_file_bytes=1 << 30)
+    fdf = files_df(spark, out).collect()
+    assert sum(r["row_count"] for r in fdf) == 198
+    rewritten = {r["chunk_dir"] for r in fdf}
+    assert len(rewritten) >= 1  # rows now live under consolidated dirs
+
+
 def test_files_row_counts_match_decode(spark, table):
     out, _src, schema = table
     s1, _s2 = _snaps(out)[:2]

@@ -134,15 +134,21 @@ def test_head_consumers_after_rollback(spark, tmp_path):
     assert decode_blocks(spark, out, schema, as_of=s3).count() == 500
 
 
-def test_changelog_guard_spanning_rollback(spark, tmp_path):
+def test_changelog_follows_lineage_across_rollback(spark, tmp_path):
     out, src, schema = _three_snapshot_table(spark, tmp_path)
     s1, s2, s3 = _snaps(out)
     rollback(out, s1)
     _grow(spark, tmp_path, out, src, 400, 450, "d")
     s4 = _snaps(out)[-1]
-    # window s1 -> HEAD(s4) spans undone s2/s3: loud reset error
-    with pytest.raises(ValueError, match="rollback"):
-        read_changes(spark, out, schema, s1, s4)
+    # window s1 -> s4 follows s4's LINEAGE: the undone s2/s3 inserts
+    # never replay, the post-rollback commit stays readable
+    ch = read_changes(spark, out, schema, s1, s4)
+    ids = {r["doc_id"] for r in ch.collect()}
+    assert ids == set(range(400, 450))
+    assert ch.count() == 50
+    # a checkpoint that was itself undone must reset — loud error
+    with pytest.raises(ValueError, match="lineage"):
+        read_changes(spark, out, schema, s2, s4)
     # pre-rollback windows on still-visible lineage stay exact
     ch = read_changes(spark, out, schema, None, s1)
     assert ch.count() == 200

@@ -93,6 +93,14 @@ def test_add_column_null_filled_and_collision_guard(spark, table):
         evolve_schema(out, add={"text": pa.string()})
 
 
+def test_duplicate_targets_rejected(spark, table):
+    out, _src = table
+    with pytest.raises(ValueError, match="duplicate target"):
+        evolve_schema(out, rename={"lang": "z", "source": "z"})
+    with pytest.raises(ValueError, match="duplicate target"):
+        evolve_schema(out, rename={"lang": "z"}, add={"z": pa.string()})
+
+
 def test_drop_retires_name_forever(spark, table):
     out, _src = table
     evolve_schema(out, drop=["lang"])
