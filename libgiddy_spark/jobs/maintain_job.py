@@ -71,6 +71,13 @@ def main() -> None:
                     help="declare a staged snapshot's audit failed: "
                          "it never joins the table and --vacuum "
                          "reclaims its files")
+    ap.add_argument("--show", default=None,
+                    choices=("snapshots", "history", "refs", "files"),
+                    help="print an Iceberg-style metadata table as "
+                         "JSON lines (driver-side manifest parse, no "
+                         "Spark job)")
+    ap.add_argument("--as-of", default=None, metavar="SNAP_OR_REF",
+                    help="snapshot for --show files (default HEAD)")
     ap.add_argument("--remove-orphans", action="store_true",
                     help="delete on-disk files no manifest entry "
                          "references (crashed-job debris); referenced "
@@ -87,13 +94,30 @@ def main() -> None:
             or args.rewrite_sorted or args.upsert_source
             or args.create_ref or args.drop_ref or args.list_refs
             or args.publish or args.abort_staged or args.rollback
-            or args.remove_orphans):
+            or args.remove_orphans or args.show):
         ap.error("nothing to do: pass --compact/--vacuum/--delete-keys/"
                  "--purge/--rewrite-sorted/--upsert-source/--create-ref/"
                  "--drop-ref/--list-refs/--publish/--abort-staged/"
-                 "--rollback/--remove-orphans")
+                 "--rollback/--remove-orphans/--show")
 
     out: dict = {}
+    if args.show:
+        from libgiddy_spark import meta
+
+        rows, cols = {
+            "snapshots": (lambda: meta.snapshot_rows(args.encoded),
+                          meta.SNAPSHOTS_DDL),
+            "history": (lambda: meta.history_rows(args.encoded),
+                        meta.HISTORY_DDL),
+            "refs": (lambda: meta.refs_rows(args.encoded),
+                     meta.REFS_DDL),
+            "files": (lambda: meta.file_rows(args.encoded, args.as_of),
+                      meta.FILES_DDL),
+        }[args.show]
+        names = [c.strip().split(" ")[0] for c in cols.split(",")]
+        for r in rows():
+            print(json.dumps(dict(zip(names, r))))
+        out["shown"] = args.show
     if args.remove_orphans:
         from libgiddy_spark.engine import remove_orphan_files
 

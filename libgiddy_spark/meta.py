@@ -17,16 +17,25 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import _branch_replay, _manifest_entries, list_refs
 from .manifest import Manifest
 
-__all__ = ["files_df", "history_df", "refs_df", "snapshots_df"]
+__all__ = [
+    "file_rows", "files_df", "history_df", "history_rows",
+    "refs_df", "refs_rows", "snapshot_rows", "snapshots_df",
+]
 
 
-def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
-    """One row per snapshot header (Iceberg ``tbl.snapshots``):
-    ``committed_at_us``, ``snapshot_id``, ``parent_id`` (main-branch
-    parent at join; null for the first commit / unjoined), ``state``
-    (``current`` | ``ancestor`` | ``orphaned`` = in history but not
-    visible at HEAD, e.g. rolled back | ``staged`` | ``aborted``) and
-    ``num_parts``."""
+SNAPSHOTS_DDL = ("committed_at_us long, snapshot_id string, "
+                 "parent_id string, state string, num_parts int")
+HISTORY_DDL = ("made_current_at_us long, snapshot_id string, "
+               "is_current_ancestor boolean")
+REFS_DDL = "name string, snapshot_id string"
+FILES_DDL = ("snapshot_id string, chunk_dir string, part_id int, "
+             "row_count long, key_lo long, key_hi long, "
+             "key_lo_s string, key_hi_s string")
+
+
+def snapshot_rows(out_dir: str) -> list[tuple]:
+    """Driver-side rows for :func:`snapshots_df` (no Spark needed —
+    the CLI prints these directly)."""
     entries = Manifest(out_dir).read()
     st = _branch_replay(entries)
     visible = set(st.visible())
@@ -54,18 +63,20 @@ def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
             state,
             int(e.get("num_parts", 0)),
         ))
-    return spark.createDataFrame(
-        rows,
-        "committed_at_us long, snapshot_id string, parent_id string, "
-        "state string, num_parts int",
-    )
+    return rows
 
 
-def history_df(spark: SparkSession, out_dir: str) -> DataFrame:
-    """One row per time a snapshot became CURRENT (Iceberg
-    ``tbl.history``): main-branch joins in commit order plus every
-    rollback event, with ``is_current_ancestor`` false for commits a
-    later rollback undid (the lineage HEAD no longer descends from)."""
+def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """One row per snapshot header (Iceberg ``tbl.snapshots``):
+    ``committed_at_us``, ``snapshot_id``, ``parent_id`` (main-branch
+    parent at join; null for the first commit / unjoined), ``state``
+    (``current`` | ``ancestor`` | ``orphaned`` = in history but not
+    visible at HEAD, e.g. rolled back | ``staged`` | ``aborted``) and
+    ``num_parts``."""
+    return spark.createDataFrame(snapshot_rows(out_dir), SNAPSHOTS_DDL)
+
+
+def history_rows(out_dir: str) -> list[tuple]:
     entries = Manifest(out_dir).read()
     st = _branch_replay(entries)
     visible = set(st.visible())
@@ -96,27 +107,27 @@ def history_df(spark: SparkSession, out_dir: str) -> DataFrame:
             cur,
             cur in visible,
         ))
-    return spark.createDataFrame(
-        rows,
-        "made_current_at_us long, snapshot_id string, "
-        "is_current_ancestor boolean",
-    )
+    return rows
+
+
+def history_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """One row per time a snapshot became CURRENT (Iceberg
+    ``tbl.history``): main-branch joins in commit order plus every
+    rollback event, with ``is_current_ancestor`` false for commits a
+    later rollback undid (the lineage HEAD no longer descends from)."""
+    return spark.createDataFrame(history_rows(out_dir), HISTORY_DDL)
+
+
+def refs_rows(out_dir: str) -> list[tuple]:
+    return sorted(list_refs(out_dir).items())
 
 
 def refs_df(spark: SparkSession, out_dir: str) -> DataFrame:
     """Live named refs (Iceberg ``tbl.refs``)."""
-    return spark.createDataFrame(
-        sorted(list_refs(out_dir).items()),
-        "name string, snapshot_id string",
-    )
+    return spark.createDataFrame(refs_rows(out_dir), REFS_DDL)
 
 
-def files_df(spark: SparkSession, out_dir: str,
-             as_of: str | None = None) -> DataFrame:
-    """One row per (chunk, part) visible at ``as_of`` (default HEAD) —
-    Iceberg ``tbl.files``: owning snapshot, chunk dir, part id, row
-    count and the manifest-level sort-key zone bounds data skipping
-    prunes on. Built from the O(chunks) summary index."""
+def file_rows(out_dir: str, as_of: str | None = None) -> list[tuple]:
     from .engine import _resolve_as_of, _snap_chain
 
     entries = _manifest_entries(out_dir)
@@ -155,10 +166,15 @@ def files_df(spark: SparkSession, out_dir: str,
             for r in moved:
                 r[1] = rw["new_chunk"]
             by_dir.setdefault(rw["new_chunk"], []).extend(moved)
-    rows = [tuple(r) for rs in by_dir.values() for r in rs]
-    return spark.createDataFrame(
-        rows,
-        "snapshot_id string, chunk_dir string, part_id int, "
-        "row_count long, key_lo long, key_hi long, "
-        "key_lo_s string, key_hi_s string",
-    )
+    return [tuple(r) for rs in by_dir.values() for r in rs]
+
+
+def files_df(spark: SparkSession, out_dir: str,
+             as_of: str | None = None) -> DataFrame:
+    """One row per (chunk, part) visible at ``as_of`` (default HEAD) —
+    Iceberg ``tbl.files``: owning snapshot, chunk dir, part id, row
+    count and the manifest-level sort-key zone bounds data skipping
+    prunes on. Built from the O(chunks) summary index, rewrite-lineage
+    aware (compacted rows report their consolidated dir; purged dirs
+    are retired, never double-counted)."""
+    return spark.createDataFrame(file_rows(out_dir, as_of), FILES_DDL)

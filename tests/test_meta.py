@@ -99,6 +99,29 @@ def test_refs_df(spark, table):
     assert refs["meta_tag"] == s1
 
 
+def test_maintain_cli_show(table, monkeypatch, capsys):
+    import json as _json
+    import sys as _sys
+
+    from libgiddy_spark.jobs import maintain_job
+
+    out, _src, _schema = table
+    monkeypatch.setattr(_sys, "argv", [
+        "maintain_job.py", "--encoded", out, "--show", "snapshots"])
+    maintain_job.main()
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln.startswith("{")]
+    rows = [_json.loads(ln) for ln in lines
+            if "snapshot_id" in ln and "state" in ln]
+    assert any(r["state"] == "current" for r in rows)
+    monkeypatch.setattr(_sys, "argv", [
+        "maintain_job.py", "--encoded", out, "--show", "files"])
+    maintain_job.main()
+    flines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+              if "chunk_dir" in ln]
+    assert sum(_json.loads(ln)["row_count"] for ln in flines) == 500
+
+
 def test_files_follows_rewrite_lineage(spark, tmp_path_factory):
     """After purge (retire rewrite) and compaction (move rewrite),
     files_df must not double-count retired chunks, and its rows must
