@@ -476,28 +476,65 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def q_text_token_stats(spark, sf_dir):
-    from libgiddy_spark.pipeline import token_stats
+def q_text_signals(spark, sf_dir):
+    """Language-ID + quality scoring joined into one per-doc signal
+    frame (two operators, one correctness row)."""
+    from libgiddy_spark.pipeline import lang_id, quality_score
 
-    return token_stats(_docs(spark, sf_dir))
-
-
-def q_text_quality(spark, sf_dir):
-    from libgiddy_spark.pipeline import quality_score
-
-    return quality_score(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return lang_id(docs).join(quality_score(docs), "doc_id")
 
 
-def q_text_lang_id(spark, sf_dir):
-    from libgiddy_spark.pipeline import lang_id
+def q_text_profile(spark, sf_dir):
+    """Token statistics + document fingerprints joined into one
+    per-doc profile frame (two operators, one correctness row)."""
+    from libgiddy_spark.pipeline import fingerprints, token_stats
 
-    return lang_id(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return token_stats(docs).join(fingerprints(docs), "doc_id")
 
 
-def q_text_fingerprint(spark, sf_dir):
-    from libgiddy_spark.pipeline import fingerprints
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub over a corpus with deterministically injected PII
+    (every third doc gets an email + an IPv4 literal — the raw corpus
+    has none, so the injection is what makes the regexes and the
+    redacted-text hash a real check)."""
+    from libgiddy_spark.pipeline import redact_pii
 
-    return fingerprints(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4 boilerplate rule) over docs
+    re-lined into 8-word lines (the raw corpus is single-line; the
+    deterministic re-lining — same expression in the oracle — creates
+    real cross-document duplicate lines via the corpus's near-dups)."""
+    from libgiddy_spark.pipeline import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(words) / F.lit(8.0)).cast("int") - 1,
+        ),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    relined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(relined)
 
 
 def q_corpus_sample_stratified(spark, sf_dir):
@@ -1095,10 +1132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_metrics": q_compression_metrics,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_cms": q_sketch_cms,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
+        "text_redact_pii": q_text_redact_pii,
+        "text_line_dedup": q_text_line_dedup,
+        "text_signals": q_text_signals,
+        "text_profile": q_text_profile,
         "text_surprisal": q_text_surprisal,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mix_report": q_corpus_mix_report,
@@ -1545,6 +1582,51 @@ def oracle_sql() -> dict[str, str]:
         + d.pop("embedding_ivf_assign")
         + ") t UNION ALL SELECT 'refined' AS stage, t.* FROM ("
         + d.pop("embedding_ivf_refined") + ") t"
+    )
+    d["text_signals"] = (
+        "SELECT * FROM (" + d.pop("text_lang_id") + ") a JOIN ("
+        + d.pop("text_quality") + ") b USING (doc_id)"
+    )
+    d["text_profile"] = (
+        "SELECT * FROM (" + d.pop("text_token_stats") + ") a JOIN ("
+        + d.pop("text_fingerprint") + ") b USING (doc_id)"
+    )
+    _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    d["text_redact_pii"] = (
+        "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.7' ELSE text END AS text FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) "
+        "AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{_IPV4}')) AS INT) "
+        "AS n_ips, "
+        f"regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', "
+        f"'g'), '{_IPV4}', '<IP>', 'g') AS redacted FROM t"
+    )
+    d["text_line_dedup"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "l AS (SELECT doc_id, list_transform("
+        "range(0, CAST(ceil(len(ws) / 8.0) AS INT)), "
+        "i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS lines "
+        "FROM w), "
+        "ln AS (SELECT doc_id, unnest(lines) AS line, "
+        "generate_subscripts(lines, 1) AS pos1 FROM l), "
+        "keeper AS (SELECT line, MIN(doc_id * 1000000 + pos1) AS k "
+        "FROM ln GROUP BY line), "
+        "kept AS (SELECT ln.doc_id, ln.pos1, ln.line FROM ln "
+        "JOIN keeper USING (line) "
+        "WHERE ln.doc_id * 1000000 + ln.pos1 = keeper.k), "
+        "reb AS (SELECT doc_id, "
+        "string_agg(line, chr(10) ORDER BY pos1) AS cleaned_text, "
+        "COUNT(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT l.doc_id, coalesce(reb.cleaned_text, '') AS "
+        "cleaned_text, CAST(len(l.lines) AS INT) AS n_lines, "
+        "CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept "
+        "FROM l LEFT JOIN reb USING (doc_id)"
     )
     d["events_asof_join"] = (
         "WITH l AS (SELECT event_id, user_id, ts FROM events "

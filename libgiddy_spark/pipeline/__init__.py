@@ -56,7 +56,9 @@ from .sketch import (  # noqa: F401
 from .text import (  # noqa: F401
     fingerprints,
     lang_id,
+    line_dedup,
     quality_score,
+    redact_pii,
     repetition_signals,
     tfidf_top_terms,
     token_stats,

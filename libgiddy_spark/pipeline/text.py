@@ -217,3 +217,65 @@ def fingerprints(df: DataFrame, key: str = "doc_id", text: str = "text") -> Data
         F.md5(F.lower(F.col(text))).alias("fp_exact"),
         F.md5(F.concat_ws(" ", w)).alias("fp_bag"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, key: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """PII scrub (the C4/CCNet pre-training hygiene stage): count and
+    replace email addresses and IPv4 literals with typed placeholders.
+    Pure JVM regexp (regexp_count/regexp_replace, whole-stage codegen);
+    the patterns use only syntax Java regex and RE2 read identically,
+    so the redacted text is bit-comparable to a DuckDB oracle. Counts
+    are taken on the ORIGINAL text, replacement order is fixed
+    (emails, then IPs)."""
+    c = F.col(text)
+    red = F.regexp_replace(
+        F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>")
+    return df.select(
+        F.col(key),
+        F.regexp_count(c, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(_IPV4_RE)).cast("int").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+def line_dedup(df: DataFrame, key: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """Corpus-wide exact LINE deduplication (the C4 rule: a line kept
+    only at its FIRST occurrence across the whole corpus — boilerplate
+    headers/footers vanish from every later document). Deterministic
+    keeper = the line's minimum (doc, position) encoded as one int64,
+    so the hot-line aggregation combines map-side (a million-document
+    boilerplate line costs one partial per task, not a mega-group);
+    the join back is line-keyed, one shuffle each side, no explosion
+    (keeper is one row per distinct line). Docs whose every line was
+    seen before collapse to the empty string — the caller filters.
+
+    Output: (key, cleaned_text, n_lines, n_kept)."""
+    arr = F.split(F.col(text), "\n")
+    ln = df.select(F.col(key), F.posexplode(arr).alias("_pos", "_line")) \
+        .withColumn("_pos1", F.col("_pos") + 1)
+    tag = F.col(key) * F.lit(1_000_000) + F.col("_pos1")
+    keeper = ln.groupBy("_line").agg(F.min(tag).alias("_k"))
+    kept = ln.join(keeper, "_line").where(tag == F.col("_k"))
+    reb = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos1", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(key), F.size(arr).alias("n_lines"))
+    return base.join(reb, key, "left").select(
+        F.col(key),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.col("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -573,3 +573,38 @@ def test_repetition_signals_flag_degenerate_text(spark):
     assert got[0]["max_bigram"] == 4
     assert got[1]["dup_frac_x1000"] == 0
     assert 2 not in got
+
+
+def test_redact_pii_semantics(spark):
+    from libgiddy_spark.pipeline import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e-f.org ip 10.0.0.1 done"),
+         (2, "clean text, no pii at all"),
+         (3, "999.999.1.1 still matches the ipv4 SHAPE")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_ips"] == 1
+    assert got[1]["redacted"] == "mail <EMAIL> and <EMAIL> ip <IP> done"
+    assert got[2]["n_emails"] == 0 and got[2]["redacted"] == df.collect()[1]["text"]
+    assert got[3]["n_ips"] == 1  # shape-based, not range-validated
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from libgiddy_spark.pipeline import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "header\nalpha\nfooter"),
+         (2, "header\nbeta\nfooter"),      # boilerplate vanishes
+         (3, "header\nalpha\nfooter")],    # fully duplicate -> empty
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["cleaned_text"] == "header\nalpha\nfooter"
+    assert got[2]["cleaned_text"] == "beta"
+    assert got[3]["cleaned_text"] == ""
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 0)
+    # one shuffle each side, no cartesian
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
