@@ -273,42 +273,31 @@ def _encode_docs_by_text(spark, sf_dir):
     return out, schema
 
 
-def q_point_lookup_text(spark, sf_dir):
-    """Point lookup on a string sort key: manifest string bounds prune
-    parts driver-side, block string zone maps prune row groups, and the
-    per-block Bloom filter proves in-range blocks absent BEFORE their
-    payload is read (engine.decode_blocks key_point). The exact
-    equality predicate then runs on the decoded candidates. Oracle =
-    plain WHERE text = probe over the raw source."""
+def q_text_key_lookup(spark, sf_dir):
+    """BOTH string-sort-key pruning paths in one tagged union:
+    mode='point' — manifest string bounds prune parts driver-side,
+    block string zone maps prune row groups, and the per-block Bloom
+    filter proves in-range blocks absent BEFORE their payload is read
+    (decode_blocks key_point); mode='range' — truncation-safe bounds
+    prune a [min(text), 25th-smallest] BETWEEN. Exact predicates run
+    on the decoded candidates; oracle = plain WHERE over the source."""
     from libgiddy_spark.engine import decode_blocks
 
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probe = src.agg(F.min("text")).collect()[0][0]  # driver scalar
-    out, schema = _encode_docs_by_text(spark, sf_dir)
-    dec = decode_blocks(spark, out, schema, key_point=probe)
-    return (
-        dec.filter(F.col("text") == probe)
-        .select("doc_id", "lang", "n_chars")
-    )
-
-
-def q_pruned_text_range(spark, sf_dir):
-    """STRING-range pruned decode (the key_range twin for string sort
-    keys): truncation-safe per-block bounds + manifest part bounds
-    prune non-overlapping blocks; exact BETWEEN runs on the decoded
-    frame. Range = [min(text), 25th-smallest text], both well-defined
-    on the value multiset so Spark and the oracle agree."""
-    from libgiddy_spark.engine import decode_blocks
-
-    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lo = src.agg(F.min("text")).collect()[0][0]
     hi = src.select("text").orderBy("text").limit(25).collect()[-1][0]
     out, schema = _encode_docs_by_text(spark, sf_dir)
-    dec = decode_blocks(spark, out, schema, key_range_s=(lo, hi))
-    return (
-        dec.filter((F.col("text") >= lo) & (F.col("text") <= hi))
-        .select("doc_id", "lang")
+    point = (
+        decode_blocks(spark, out, schema, key_point=probe)
+        .filter(F.col("text") == probe)
+        .select(F.lit("point").alias("mode"), "doc_id", "lang")
     )
+    rng = (
+        decode_blocks(spark, out, schema, key_range_s=(probe, hi))
+        .filter(F.col("text").between(probe, hi))
+        .select(F.lit("range").alias("mode"), "doc_id", "lang")
+    )
+    return point.unionByName(rng)
 
 
 def q_streaming_windowed_stats(spark, sf_dir):
@@ -950,6 +939,16 @@ def q_multimodal_transforms(spark, sf_dir):
     return img.unionByName(aud)
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the earliest step-k time strictly after that user's step k-1 time
+    (sequential-pattern semantics; every exchange on the one user key)."""
+    from libgiddy_spark.pipeline import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev)
+
+
 def q_events_rollup_cascade(spark, sf_dir):
     """Hypertable rollup cascade (TimescaleDB continuous-aggregate
     shape): events aggregated once into 15-minute buckets, then hour
@@ -1104,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # left the tail 5 unchecked) — never let a first-run operator sort
     # behind long-green roundtrips.
     return {
+        "events_funnel": q_events_funnel,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "table_wap": q_table_wap,
@@ -1121,8 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_pruned_range": q_roundtrip_pruned_range,
         "roundtrip_direct": q_roundtrip_direct,
-        "point_lookup_text": q_point_lookup_text,
-        "pruned_text_range": q_pruned_text_range,
+        "text_key_lookup": q_text_key_lookup,
         "corpus_rollup": q_corpus_rollup,
         "streaming_windowed_stats": q_streaming_windowed_stats,
         "user_sessions": q_user_sessions,
@@ -1627,6 +1626,35 @@ def oracle_sql() -> dict[str, str]:
         "cleaned_text, CAST(len(l.lines) AS INT) AS n_lines, "
         "CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept "
         "FROM l LEFT JOIN reb USING (doc_id)"
+    )
+    d["text_key_lookup"] = (
+        "SELECT 'point' AS mode, doc_id, lang FROM documents "
+        "WHERE text = (SELECT MIN(text) FROM documents) "
+        "UNION ALL "
+        "SELECT 'range' AS mode, doc_id, lang FROM documents "
+        "WHERE text >= (SELECT MIN(text) FROM documents) "
+        "AND text <= (SELECT text FROM documents ORDER BY text "
+        "LIMIT 1 OFFSET 24)"
+    )
+    d.pop("point_lookup_text")
+    d.pop("pruned_text_range")
+    d["events_funnel"] = (
+        "WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t_1_us "
+        "FROM events WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_2_us "
+        "FROM events e JOIN s1 USING (user_id) "
+        "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_1_us "
+        "GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_3_us "
+        "FROM events e JOIN s2 USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_2_us "
+        "GROUP BY e.user_id) "
+        "SELECT s1.user_id, s1.t_1_us, s2.t_2_us, s3.t_3_us, "
+        "CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END "
+        "+ CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT) "
+        "AS stage_reached "
+        "FROM s1 LEFT JOIN s2 USING (user_id) "
+        "LEFT JOIN s3 USING (user_id)"
     )
     d["events_asof_join"] = (
         "WITH l AS (SELECT event_id, user_id, ts FROM events "

@@ -44,6 +44,7 @@ from .sampling import mix_report, stratified_sample  # noqa: F401
 from .sessions import sessionize  # noqa: F401
 from .temporal import (  # noqa: F401
     asof_join,
+    funnel,
     hypertable_rollup,
     range_join,
 )

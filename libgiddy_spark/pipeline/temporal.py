@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "hypertable_rollup", "range_join"]
+__all__ = ["asof_join", "funnel", "hypertable_rollup", "range_join"]
 
 
 def _as_micros(col: Column, dtype: str) -> Column:
@@ -126,6 +126,54 @@ def asof_join(
         )
     )
     return out
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, the EARLIEST time of
+    step k occurring STRICTLY AFTER that user's step k-1 time (the
+    sequential-pattern semantics product analytics means by "funnel" —
+    a purchase before the first view does not count).
+
+    Shape: one filtered min-aggregation per step plus a user-keyed
+    join against the previous step's times — every exchange is on the
+    same user key, so Catalyst reuses one shuffle layout across all k
+    stages, each step's type filter pushes into the scan, and no step
+    ever materializes more than one row per user. len(steps) is small
+    and fixed; the data passes are k filtered scans, never a per-user
+    sort or window over the full event stream.
+
+    Output: (user, t_1_us .. t_k_us epoch-µs longs — null once the
+    user fell out — and stage_reached)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ts_ty = dict(events.dtypes)[ts]
+    ev = events.select(
+        F.col(user), F.col(type_col).alias("_et"),
+        _as_micros(F.col(ts), ts_ty).alias("_tu"),
+    )
+    out = (
+        ev.where(F.col("_et") == steps[0])
+        .groupBy(user).agg(F.min("_tu").alias("t_1_us"))
+    )
+    for k, st in enumerate(steps[1:], start=2):
+        prev = f"t_{k - 1}_us"
+        nxt = (
+            ev.where(F.col("_et") == st)
+            .join(out.select(user, prev), user)
+            .where(F.col("_tu") > F.col(prev))
+            .groupBy(user).agg(F.min("_tu").alias(f"t_{k}_us"))
+        )
+        out = out.join(nxt, user, "left")
+    reached = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        reached = reached + F.col(f"t_{k}_us").isNotNull().cast("int")
+    return out.withColumn("stage_reached", reached)
 
 
 def hypertable_rollup(

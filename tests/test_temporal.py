@@ -160,3 +160,31 @@ def test_range_join_timestamp_columns_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_strict_ordering(spark):
+    from libgiddy_spark.pipeline import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # user 2: purchase BEFORE the first view -> stage 2 only
+        (2, "purchase", 50), (2, "view", 100), (2, "click", 150),
+        # user 3: click only after view, no purchase
+        (3, "view", 100), (3, "click", 110),
+        # user 4: never viewed -> absent from the funnel
+        (4, "click", 10), (4, "purchase", 20),
+        # user 5: simultaneous click (ts == view) does NOT count
+        (5, "view", 100), (5, "click", 100),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, T0 + s * US) for u, t, s in rows],
+        "user_id long, event_type string, ts long",
+    )
+    got = {r["user_id"]: r for r in funnel(ev).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["stage_reached"] == 3
+    assert got[1]["t_3_us"] == T0 + 300 * US
+    assert got[2]["stage_reached"] == 2 and got[2]["t_3_us"] is None
+    assert got[3]["stage_reached"] == 2
+    assert got[5]["stage_reached"] == 1  # strict 'after', ties drop
