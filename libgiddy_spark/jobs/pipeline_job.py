@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup_corpus", "text_stats", "ann_topk",
                              "near_dups", "ivf_assign", "hll", "cms",
-                             "sessions", "tfidf", "sample"])
+                             "sessions", "tfidf", "sample", "funnel",
+                             "rollup", "line_dedup", "redact_pii"])
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--key-col", default=None)
@@ -93,6 +94,25 @@ def main() -> None:
         from libgiddy_spark.pipeline import sessionize
 
         res = sessionize(df, user_col=args.key_col or "user_id")
+    elif args.op == "funnel":
+        from libgiddy_spark.pipeline import funnel
+
+        res = funnel(df, user=args.key_col or "user_id")
+    elif args.op == "rollup":
+        from libgiddy_spark.pipeline import hypertable_rollup
+
+        res = hypertable_rollup(
+            df, sum_cols=(args.key_col or "user_id",))
+    elif args.op == "line_dedup":
+        from libgiddy_spark.pipeline import line_dedup
+
+        res = line_dedup(df, key=args.key_col or "doc_id",
+                         text=args.text_col)
+    elif args.op == "redact_pii":
+        from libgiddy_spark.pipeline import redact_pii
+
+        res = redact_pii(df, key=args.key_col or "doc_id",
+                         text=args.text_col)
     elif args.op == "hll":
         from libgiddy_spark.pipeline import hll_registers
 

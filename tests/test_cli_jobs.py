@@ -81,6 +81,17 @@ def test_pipeline_job_cli(spark, tmp_path, monkeypatch, capsys):
          ["--op", "text_stats", "--source", f"{SF}/documents.parquet",
           "--out", out])
     assert os.path.isdir(out)
+    out2 = str(tmp_path / "pout_funnel")
+    _run(monkeypatch, pipeline_job,
+         ["--op", "funnel", "--source", f"{SF}/events.parquet",
+          "--out", out2])
+    fn = spark.read.parquet(out2)
+    assert fn.count() >= 1 and "stage_reached" in fn.columns
+    out3 = str(tmp_path / "pout_ld")
+    _run(monkeypatch, pipeline_job,
+         ["--op", "line_dedup", "--source", f"{SF}/documents.parquet",
+          "--out", out3])
+    assert spark.read.parquet(out3).count() == 500
 
 
 def test_delete_purge_cli(spark, tmp_path, monkeypatch, capsys):
