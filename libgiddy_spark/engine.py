@@ -1783,7 +1783,12 @@ def read_changes(
             raise ValueError(
                 f"changelog window needs delete file {e['file']!r}, "
                 "which was removed (vacuumed/expired)")
-        parent = snaps[snaps.index(e["snapshot_id"]) - 1]
+        # LINEAGE parent, not raw chain order: a delete committed
+        # after a rollback chains onto the rollback target — decoding
+        # "rows live just before the delete" against the chain
+        # predecessor would read undone (rolled-back) table state and
+        # emit delete rows that were never inserted on this lineage
+        parent = bstate.parent[e["snapshot_id"]]
         keys = spark.read.parquet(dfile).select(
             F.col(e["key_col"])).distinct()
         if int(e.get("n", 0)) > bcast_max:

@@ -117,7 +117,8 @@ def main() -> None:
         names = [c.strip().split(" ")[0] for c in cols.split(",")]
         for r in rows():
             print(json.dumps(dict(zip(names, r))))
-        out["shown"] = args.show
+        # no trailing summary dict: --show stdout stays a clean JSONL
+        # metadata table for jq-style consumers
     if args.remove_orphans:
         from libgiddy_spark.engine import remove_orphan_files
 
@@ -244,7 +245,8 @@ def main() -> None:
         out["vacuum"] = vacuum_blocks(
             args.encoded, retain_last=args.retain_last,
             older_than=args.older_than)
-    print(json.dumps(out))
+    if out:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

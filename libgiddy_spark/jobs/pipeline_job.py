@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=5)
     ap.add_argument("--method", default="lsh", choices=["lsh", "ivf"])
     ap.add_argument("--jaccard-threshold-x1000", type=int, default=700)
+    ap.add_argument("--measure-col", default=None,
+                    help="numeric column summed per bucket for "
+                         "--op rollup (keeps --key-col meaning the "
+                         "entity key everywhere else)")
     ap.add_argument("--sketch-col", default=None,
                     help="column for --op hll/cms (default: key col)")
     args = ap.parse_args()
@@ -102,7 +106,7 @@ def main() -> None:
         from libgiddy_spark.pipeline import hypertable_rollup
 
         res = hypertable_rollup(
-            df, sum_cols=(args.key_col or "user_id",))
+            df, sum_cols=(args.measure_col or "user_id",))
     elif args.op == "line_dedup":
         from libgiddy_spark.pipeline import line_dedup
 

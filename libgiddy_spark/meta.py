@@ -138,14 +138,16 @@ def file_rows(out_dir: str, as_of: str | None = None) -> list[tuple]:
     # (new_chunk=None) RETIRES them — their rows live under the
     # rewrite's own chunk entries, so keeping both would double-count
     by_dir: dict[str, list[list]] = {}
+    seen: set[tuple[str, int]] = set()
     rewrites: list[dict] = []
     for e in entries:
         k = e.get("kind")
         if accepted is not None and e.get("snapshot_id") not in accepted:
             continue
-        if k == "chunk":
+        if k == "chunk" and e.get("chunk_dir"):
             part_rows = e.get("part_rows") or {}
             for pid in e.get("parts", ()):
+                seen.add((e["chunk_dir"], int(pid)))
                 by_dir.setdefault(e["chunk_dir"], []).append([
                     e.get("snapshot_id"),
                     e.get("chunk_dir"),
@@ -158,6 +160,32 @@ def file_rows(out_dir: str, as_of: str | None = None) -> list[tuple]:
                 ])
         elif k == "rewrite":
             rewrites.append(e)
+    # crash-orphaned chunks (part entries whose chunk summary append
+    # was lost): _committed_block_files still decodes them from the
+    # manifest tail, so the files table must list them too (row count
+    # unknown at chunk granularity -> -1, bounds from the part entry)
+    for e in entries:
+        if (e.get("kind") != "part" or e.get("status") != "done"
+                or not e.get("chunk_dir")
+                or e.get("part_id") is None):
+            continue
+        if accepted is not None and e.get("snapshot_id") not in accepted:
+            continue
+        dp = (e["chunk_dir"], int(e["part_id"]))
+        if dp in seen:
+            continue
+        seen.add(dp)
+        n = -1
+        for c in (e.get("columns") or {}).values():
+            if isinstance(c, dict) and c.get("n_values") is not None:
+                n = int(c["n_values"])
+                break
+        by_dir.setdefault(e["chunk_dir"], []).append([
+            e.get("snapshot_id"), e["chunk_dir"], int(e["part_id"]),
+            n,
+            e.get("key_lo"), e.get("key_hi"),
+            e.get("key_lo_s"), e.get("key_hi_s"),
+        ])
     for rw in rewrites:
         moved: list[list] = []
         for d in rw.get("replaces", ()):

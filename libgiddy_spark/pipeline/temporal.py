@@ -152,6 +152,10 @@ def funnel(
     user fell out — and stage_reached)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
+    bad = {"_et", "_tu"} & set(events.columns)
+    if bad:
+        raise ValueError(
+            f"input columns collide with funnel internals: {sorted(bad)}")
     ts_ty = dict(events.dtypes)[ts]
     ev = events.select(
         F.col(user), F.col(type_col).alias("_et"),

@@ -248,7 +248,7 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
     """Corpus-wide exact LINE deduplication (the C4 rule: a line kept
     only at its FIRST occurrence across the whole corpus — boilerplate
     headers/footers vanish from every later document). Deterministic
-    keeper = the line's minimum (doc, position) encoded as one int64,
+    keeper = the line's lexicographic-minimum (doc, position) struct,
     so the hot-line aggregation combines map-side (a million-document
     boilerplate line costs one partial per task, not a mega-group);
     the join back is line-keyed, one shuffle each side, no explosion
@@ -256,10 +256,19 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
     seen before collapse to the empty string — the caller filters.
 
     Output: (key, cleaned_text, n_lines, n_kept)."""
+    reserved = {"_pos", "_pos1", "_line", "_k"}
+    bad = reserved & set(df.columns)
+    if bad:
+        raise ValueError(
+            f"input columns collide with line_dedup internals: "
+            f"{sorted(bad)}")
     arr = F.split(F.col(text), "\n")
     ln = df.select(F.col(key), F.posexplode(arr).alias("_pos", "_line")) \
         .withColumn("_pos1", F.col("_pos") + 1)
-    tag = F.col(key) * F.lit(1_000_000) + F.col("_pos1")
+    # struct min = lexicographic (key, pos): type-agnostic and
+    # collision-free (an int64 encoding would break on string keys and
+    # collide past 10^6 lines); still combines map-side
+    tag = F.struct(F.col(key), F.col("_pos1"))
     keeper = ln.groupBy("_line").agg(F.min(tag).alias("_k"))
     kept = ln.join(keeper, "_line").where(tag == F.col("_k"))
     reb = kept.groupBy(key).agg(

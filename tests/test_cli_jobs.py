@@ -92,6 +92,12 @@ def test_pipeline_job_cli(spark, tmp_path, monkeypatch, capsys):
          ["--op", "line_dedup", "--source", f"{SF}/documents.parquet",
           "--out", out3])
     assert spark.read.parquet(out3).count() == 500
+    out4 = str(tmp_path / "pout_ru")
+    _run(monkeypatch, pipeline_job,
+         ["--op", "rollup", "--source", f"{SF}/events.parquet",
+          "--out", out4, "--measure-col", "user_id"])
+    ru = spark.read.parquet(out4)
+    assert "sum_user_id" in ru.columns and ru.count() >= 3
 
 
 def test_delete_purge_cli(spark, tmp_path, monkeypatch, capsys):

@@ -109,17 +109,17 @@ def test_maintain_cli_show(table, monkeypatch, capsys):
     monkeypatch.setattr(_sys, "argv", [
         "maintain_job.py", "--encoded", out, "--show", "snapshots"])
     maintain_job.main()
-    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
-             if ln.startswith("{")]
-    rows = [_json.loads(ln) for ln in lines
-            if "snapshot_id" in ln and "state" in ln]
+    # clean JSONL: EVERY stdout line is a metadata row, no summary dict
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert all("state" in r for r in rows)
     assert any(r["state"] == "current" for r in rows)
     monkeypatch.setattr(_sys, "argv", [
         "maintain_job.py", "--encoded", out, "--show", "files"])
     maintain_job.main()
-    flines = [ln for ln in capsys.readouterr().out.strip().splitlines()
-              if "chunk_dir" in ln]
-    assert sum(_json.loads(ln)["row_count"] for ln in flines) == 500
+    frows = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert sum(r["row_count"] for r in frows) == 500
 
 
 def test_files_follows_rewrite_lineage(spark, tmp_path_factory):

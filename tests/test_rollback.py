@@ -188,6 +188,23 @@ def _manifest_entries_list(out):
     return Manifest(out).read()
 
 
+def test_changelog_delete_parent_follows_lineage(spark, tmp_path):
+    """A delete committed DIRECTLY after a rollback: its changelog
+    delete rows must decode against the lineage parent (the rollback
+    target), never the raw-chain predecessor (undone state) — else
+    keys live only in rolled-back snapshots replay as phantom
+    deletes."""
+    out, _src, schema = _three_snapshot_table(spark, tmp_path)
+    s1, s2, s3 = _snaps(out)
+    rollback(out, s1)                       # live rows: doc_id < 200
+    delete_rows(out, "doc_id", [5, 250])    # 250 lived only in s2/s3
+    dsnap = _snaps(out)[-1]
+    ch = read_changes(spark, out, schema, s1, dsnap)
+    dels = {r["doc_id"] for r in
+            ch.where(F.col("_change_type") == "delete").collect()}
+    assert dels == {5}  # no phantom delete for the rolled-back 250
+
+
 def test_reencode_of_rolled_back_source_raises(spark, tmp_path):
     out, src, schema = _three_snapshot_table(spark, tmp_path)
     s1, _s2, s3 = _snaps(out)
