@@ -32,6 +32,8 @@ directories.
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
 import urllib.request
 
 
@@ -53,14 +55,28 @@ def http_transport(base_uri: str, token: str | None = None):
                 **({"Authorization": f"Bearer {token}"} if token else {}),
             },
         )
-        with urllib.request.urlopen(req) as resp:  # noqa: S310 (catalog URI is operator-supplied)
-            return resp.status, json.loads(resp.read() or b"{}")
+        try:
+            with urllib.request.urlopen(req) as resp:  # noqa: S310 (catalog URI is operator-supplied)
+                return resp.status, json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            # urlopen RAISES on non-2xx — fold it back into the
+            # (status, body) contract so the client's status-code
+            # branches (404 -> CatalogError etc.) run on the real
+            # path exactly as they do under the test transports
+            try:
+                body = json.loads(e.read() or b"{}")
+            except Exception:
+                body = {}
+            return e.code, body
 
     return call
 
 
 class RestCatalog:
     """Minimal-yet-real Iceberg REST catalog client (read path)."""
+
+    PLAN_MAX_POLLS = 20       # async scan planning: poll budget
+    PLAN_POLL_SECS = 0.25     # base backoff (linear: k * base)
 
     def __init__(self, transport, prefix: str | None = None):
         self._call = transport
@@ -118,13 +134,28 @@ class RestCatalog:
         self._collect_tasks(res, files)
         st = res.get("status")
         if st == "submitted":
+            # async planning: the spec says clients POLL the plan id
+            # until it completes — a single fetch would fail on any
+            # table large enough to plan asynchronously
             plan_id = res.get("plan-id")
-            status, res2 = self._call(
-                "GET",
-                self._table_path(ns, table) + f"/plan/{plan_id}", None)
-            if status != 200 or res2.get("status") != "completed":
+            res2: dict = {}
+            for attempt in range(self.PLAN_MAX_POLLS):
+                status, res2 = self._call(
+                    "GET",
+                    self._table_path(ns, table) + f"/plan/{plan_id}",
+                    None)
+                if status != 200:
+                    raise CatalogError(f"plan {plan_id} -> {status}")
+                if res2.get("status") == "completed":
+                    break
+                if res2.get("status") not in ("submitted", "running"):
+                    raise CatalogError(
+                        f"plan {plan_id} -> {res2.get('status')}")
+                time.sleep(self.PLAN_POLL_SECS * (attempt + 1))
+            else:
                 raise CatalogError(
-                    f"plan {plan_id} -> {status}/{res2.get('status')}")
+                    f"plan {plan_id} still not completed after "
+                    f"{self.PLAN_MAX_POLLS} polls")
             self._collect_tasks(res2, files)
             res = res2
         elif st not in ("completed", None):

@@ -66,14 +66,19 @@ class ChangelogConsumer:
         table columns + ``_change_type`` + ``_commit_seq``; the token
         goes to :meth:`commit` after the window is materialized."""
         st = self._state()
-        snaps: list[str] = []
-        for e in _manifest_entries(self.out_dir):
-            if (e.get("kind") == "snapshot"
-                    and e["snapshot_id"] not in snaps):
-                snaps.append(e["snapshot_id"])
-        if not snaps:
-            raise ValueError(f"no snapshots in {self.out_dir}")
-        head = snaps[-1]
+        # HEAD = last VISIBLE main-branch commit, never a raw header:
+        # a WAP-staged header would fail read_changes validation, and
+        # a snapshot published AFTER later commits (cherry-pick) joins
+        # the branch at its publish position — raw header order would
+        # park the consumer at an older commit and silently never
+        # deliver the published rows
+        from .engine import _branch_replay
+
+        vis = _branch_replay(_manifest_entries(self.out_dir)).visible()
+        if not vis:
+            raise ValueError(
+                f"no published snapshots in {self.out_dir}")
+        head = vis[-1]
         if head == st["consumed_snapshot"]:
             return None
         df = read_changes(spark, self.out_dir, self.schema,

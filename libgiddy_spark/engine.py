@@ -675,7 +675,7 @@ def vacuum_blocks(
     ``retain_last``/``older_than``."""
     blocks_root = os.path.join(out_dir, "blocks")
     if not os.path.isdir(blocks_root):
-        return {"removed": []}
+        return {"removed": [], "expired_staged": []}
     live_dirs = set()
     for f in _committed_block_files(out_dir):
         live_dirs.add(os.path.relpath(f, blocks_root).split(os.sep)[0])
@@ -754,8 +754,9 @@ def vacuum_blocks(
     # encode and its txn, then was retried under a new snapshot id):
     # sweep any leftover staged chunk dirs and mark the snapshot ids
     # expired in ONE line, so the dead staged lines are declared — not
-    # re-examined — by every later maintenance pass.
-    entries = m.read()
+    # re-examined — by every later maintenance pass. (Reuses the one
+    # manifest parse from above — the manifest is O(parts) lines.)
+    entries = all_entries
     promoted = {e.get("snapshot_id") for e in entries
                 if e.get("kind") == "part" and e.get("status") == "done"}
     expired: set[str] = set()
@@ -1184,16 +1185,28 @@ def delete_rows(out_dir: str, key_col: str, keys: list) -> dict:
     import hashlib
 
     m = Manifest(out_dir)
-    if not any(e.get("kind") == "snapshot" for e in m.read()):
+    entries = m.read()
+    if not any(e.get("kind") == "snapshot" for e in entries):
         raise ValueError(f"no snapshots in {out_dir}: nothing to delete from")
     ddir = os.path.join(out_dir, "deletes")
     os.makedirs(ddir, exist_ok=True)
-    seq = sum(1 for e in m.read() if e.get("kind") == "delete")
+    seq = sum(1 for e in entries if e.get("kind") == "delete")
     rel = os.path.join("deletes", f"delete-{seq:05d}.parquet")
     tmp = os.path.join(out_dir, rel + ".tmp")
     tbl = pa.table({key_col: pa.array(keys)})
     pq.write_table(tbl, tmp)
-    os.rename(tmp, os.path.join(out_dir, rel))
+    target = os.path.join(out_dir, rel)
+    if os.path.exists(target):
+        # debris of a crashed writer (e.g. an upsert that renamed its
+        # tombstone DIR but died before its manifest txn): the manifest
+        # entry is the commit point, so an existing unreferenced target
+        # is always safe to replace — without this, every later delete
+        # wedges on IsADirectoryError forever
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        else:
+            os.remove(target)
+    os.rename(tmp, target)
     # a delete is its OWN snapshot (Iceberg: every delete commit makes a
     # new snapshot): time travel to any earlier snapshot must not see it
     with open(os.path.join(out_dir, rel), "rb") as f:
@@ -1233,7 +1246,9 @@ def upsert_rows(
     of broadcasting — same guard as plain deletes. ``df`` must carry
     the full table schema (column subsets would null-fill on decode)."""
     m = Manifest(out_dir)
-    if not any(e.get("kind") == "snapshot" for e in m.read()):
+    pre_entries = m.read()  # one parse: guard + delete seq (the staged
+    # encode below appends no delete entries, so the seq stays valid)
+    if not any(e.get("kind") == "snapshot" for e in pre_entries):
         raise ValueError(f"no snapshots in {out_dir}: encode first")
     if key_col not in df.columns:
         raise ValueError(f"upsert df lacks key column {key_col!r}")
@@ -1249,7 +1264,7 @@ def upsert_rows(
         commit_status="staged",
     )
     # distributed tombstone of the upserted keys, staged + atomic rename
-    dnum = sum(1 for e in m.read() if e.get("kind") == "delete")
+    dnum = sum(1 for e in pre_entries if e.get("kind") == "delete")
     rel = os.path.join("deletes", f"delete-{dnum:05d}.parquet")
     os.makedirs(os.path.join(out_dir, "deletes"), exist_ok=True)
     tmp = os.path.join(out_dir, "deletes", f"_tmp-delete-{dnum:05d}")
@@ -1359,7 +1374,7 @@ def _staged_full_rewrite(
     out_dir: str,
     schema: pa.Schema,
     key_col: str,
-    deletes: list[tuple[str, str, int]],
+    deletes: list[tuple[str, str, int, int]],
     cluster: bool = False,
     target_part_bytes: int = 128 << 20,
     chunk_parts: int = 64,
@@ -1789,6 +1804,12 @@ def read_changes(
         # predecessor would read undone (rolled-back) table state and
         # emit delete rows that were never inserted on this lineage
         parent = bstate.parent[e["snapshot_id"]]
+        if parent is None:
+            # delete as the very first main-branch commit (possible
+            # when only WAP-staged data existed): nothing was live
+            # before it, so it deletes nothing — as_of=None here would
+            # wrongly decode HEAD
+            continue
         keys = spark.read.parquet(dfile).select(
             F.col(e["key_col"])).distinct()
         if int(e.get("n", 0)) > bcast_max:

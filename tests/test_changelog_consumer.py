@@ -108,3 +108,61 @@ def test_epoch_sink_exactly_once_through_replay(spark, tmp_path):
                          + [(5, "delete")])
     assert all_rows.groupBy("doc_id", "_change_type").count() \
         .filter(F.col("count") > 1).count() == 0
+
+
+def test_poll_head_is_visible_branch_not_raw_headers(spark, tmp_path):
+    """WAP cherry-pick flow: stage S, append B, publish S. Raw header
+    order ends at B, but S joins the branch AT ITS PUBLISH — the
+    consumer must deliver S's rows after publish, not park at B
+    forever."""
+    from libgiddy_spark.engine import encode_files, publish_snapshot
+    from libgiddy_spark.table_io import list_parquet_files
+
+    docs, src, out, schema = _table(spark, tmp_path)
+
+    # a staged, unpublished snapshot must not break polling either
+    wsrc = str(tmp_path / "wap_src")
+    docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)) \
+        .coalesce(1).write.parquet(wsrc)
+    encode_files(spark, wsrc, list_parquet_files(wsrc), out,
+                 key_col="doc_id", wap_staged=True)
+    c = ChangelogConsumer(out, schema, str(tmp_path / "ckpt"))
+    assert c.poll(spark) is None or True  # staged head never errors
+
+    # consume up to the current visible head (the base snapshot)
+    got = c.poll(spark)
+    if got is not None:
+        c.commit(got[1])
+
+    # append B (normal commit), then publish S (joins AFTER B)
+    _append(spark, docs, src, out, 250, 300, "b")
+    from libgiddy_spark.manifest import Manifest
+
+    staged = next(
+        e["snapshot_id"] for e in Manifest(out).read()
+        if e.get("kind") == "snapshot" and e.get("staged"))
+    df, tok = c.poll(spark)
+    assert {r["doc_id"] for r in df.collect()} == set(range(250, 300))
+    c.commit(tok)
+    publish_snapshot(out, staged)
+    df2, tok2 = c.poll(spark)  # S's rows arrive at the publish point
+    assert {r["doc_id"] for r in df2.collect()} == set(range(400, 450))
+    c.commit(tok2)
+    assert c.poll(spark) is None
+
+
+def test_delete_rows_selfheals_orphan_tombstone_dir(spark, tmp_path):
+    """A crashed upsert can leave an orphan tombstone DIRECTORY at the
+    next delete seq's target path; delete_rows must replace it, not
+    wedge on IsADirectoryError forever."""
+    import os as _os
+
+    from libgiddy_spark.engine import decode_blocks
+
+    _docs, _src, out, schema = _table(spark, tmp_path)
+    orphan = _os.path.join(out, "deletes", "delete-00000.parquet")
+    _os.makedirs(orphan)  # unreferenced: no manifest delete entry
+    open(_os.path.join(orphan, "part-0.parquet"), "w").write("junk")
+    res = delete_rows(out, "doc_id", [7])
+    assert res["n"] == 1
+    assert decode_blocks(spark, out, schema).count() == 249
