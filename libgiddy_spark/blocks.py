@@ -472,6 +472,149 @@ def make_direct_encoder(
     return encode_tasks
 
 
+# one row per (written file, part, column): the encode task's own
+# aggregate of its blocks' metadata — what _chunk_metrics_rows used to
+# re-read from the written footers, now returned through the job itself
+TASK_META_DDL = (
+    "file string, part_id int, column string, codec string, "
+    "codec_params string, n_values long, raw_bytes long, enc_bytes long, "
+    "n_blocks long, key_lo long, key_hi long, key_lo_s string, "
+    "key_hi_s string, n_unzoned long, n_unzoned_s long"
+)
+
+_TASK_META_SCHEMA = pa.schema(
+    [
+        ("file", pa.string()),
+        ("part_id", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("codec_params", pa.string()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("n_blocks", pa.int64()),
+        ("key_lo", pa.int64()),
+        ("key_hi", pa.int64()),
+        ("key_lo_s", pa.string()),
+        ("key_hi_s", pa.string()),
+        ("n_unzoned", pa.int64()),
+        ("n_unzoned_s", pa.int64()),
+    ]
+)
+
+
+def make_task_writer(encode_fn, out_dir: str,
+                     row_group_bytes: int = 32 << 20):
+    """Wrap a block-producing mapInArrow kernel so each TASK writes its
+    own block parquet file with pyarrow and yields only per-(part,
+    column) METADATA rows (TASK_META_DDL) back to the JVM.
+
+    Why: routing the encoded payloads through the JVM writer serializes
+    every payload byte across the Arrow boundary and pays the JVM
+    parquet writer on top — measured ~0.3 s of a 0.9 s webtext encode
+    job (guide §4.1: control how many bytes cross; here ~100 MB of
+    payload drops to ~KB of metadata). The decode side already reads
+    block files with pyarrow inside tasks; this mirrors it onto write.
+
+    Commit safety: file names are attempt-unique (uuid); the DRIVER
+    commits exactly the returned file set (engine writes a _FILES
+    marker and removes stray files before renaming the chunk dir), so
+    a failed/retried attempt's leftovers are never read back. Row
+    groups are flushed every ~row_group_bytes of payload so the
+    streaming decoder's peak stays one row group (same 32 MB policy as
+    the old JVM writer)."""
+
+    def write_tasks(batches):
+        import os as _os
+        import uuid
+
+        import pyarrow.parquet as _pq
+
+        name = f"task-{uuid.uuid4().hex}.parquet"
+        path = _os.path.join(out_dir, name)
+        writer = None
+        pend: list[pa.RecordBatch] = []
+        pend_bytes = 0
+        # running per-(part, column) aggregate across this task's blocks
+        agg: dict[tuple[int, str], dict] = {}
+
+        def note(batch: pa.RecordBatch) -> None:
+            cols = batch.column(3).to_pylist()      # column
+            codecs = batch.column(4).to_pylist()    # codec
+            params = batch.column(5).to_pylist()    # codec_params
+            nv = batch.column(6).to_pylist()
+            rb = batch.column(7).to_pylist()
+            eb = batch.column(8).to_pylist()
+            klo = batch.column(11).to_pylist()
+            khi = batch.column(12).to_pylist()
+            klos = batch.column(13).to_pylist()
+            khis = batch.column(14).to_pylist()
+            pids = batch.column(0).to_pylist()
+            for i in range(batch.num_rows):
+                a = agg.setdefault((int(pids[i]), cols[i]), {
+                    "codec": codecs[i], "codec_params": "{}",
+                    "n_values": 0, "raw_bytes": 0, "enc_bytes": 0,
+                    "n_blocks": 0, "key_lo": None, "key_hi": None,
+                    "key_lo_s": None, "key_hi_s": None,
+                    "n_unzoned": 0, "n_unzoned_s": 0,
+                })
+                if a["codec_params"] == "{}" and params[i] not in ("", "{}"):
+                    a["codec_params"] = params[i]
+                a["n_values"] += int(nv[i])
+                a["raw_bytes"] += int(rb[i])
+                a["enc_bytes"] += int(eb[i])
+                a["n_blocks"] += 1
+                if klo[i] is None:
+                    a["n_unzoned"] += 1
+                else:
+                    a["key_lo"] = (klo[i] if a["key_lo"] is None
+                                   else min(a["key_lo"], klo[i]))
+                    a["key_hi"] = (khi[i] if a["key_hi"] is None
+                                   else max(a["key_hi"], khi[i]))
+                if klos[i] is None:
+                    a["n_unzoned_s"] += 1
+                else:
+                    a["key_lo_s"] = (klos[i] if a["key_lo_s"] is None
+                                     else min(a["key_lo_s"], klos[i]))
+                    a["key_hi_s"] = (khis[i] if a["key_hi_s"] is None
+                                     else max(a["key_hi_s"], khis[i]))
+
+        def flush_rg():
+            nonlocal pend, pend_bytes, writer
+            if not pend:
+                return
+            if writer is None:
+                writer = _pq.ParquetWriter(
+                    path, BLOCKS_SCHEMA, compression="none",
+                    use_dictionary=False,
+                )
+            writer.write_table(pa.Table.from_batches(pend))
+            pend, pend_bytes = [], 0
+
+        for batch in encode_fn(batches):
+            note(batch)
+            pend.append(batch)
+            pend_bytes += batch.nbytes
+            if pend_bytes >= row_group_bytes:
+                flush_rg()
+        flush_rg()
+        if writer is None:
+            return  # empty task: no file, no metadata
+        writer.close()
+        out = {k: [] for k in _TASK_META_SCHEMA.names}
+        for (pid, col), a in sorted(agg.items()):
+            out["file"].append(name)
+            out["part_id"].append(pid)
+            out["column"].append(col)
+            for k in ("codec", "codec_params", "n_values", "raw_bytes",
+                      "enc_bytes", "n_blocks", "key_lo", "key_hi",
+                      "key_lo_s", "key_hi_s", "n_unzoned", "n_unzoned_s"):
+                out[k].append(a[k])
+        yield pa.RecordBatch.from_pydict(out, schema=_TASK_META_SCHEMA)
+
+    return write_tasks
+
+
 def decode_group(table: pa.Table, schema: pa.Schema,
                  column_map: dict[str, str] | None = None) -> pa.Table:
     """Decode one (part_id, salt) group of block rows back to source rows.

@@ -33,6 +33,17 @@ from .skew import apply_salting, footer_byte_stats, salt_factors
 from .table_io import list_parquet_files, load_part_files, snapshot_id_of
 
 
+# Direct-path task-slicing knobs (see encode_files). Env-overridable so
+# a deployment can tune them without code changes; the defaults are
+# sized by measured per-task overhead vs kernel throughput — they are
+# NOT cluster-size dependent (a slice worth <30 ms of encode is pure
+# overhead on any cluster, and row-range re-decode amplification costs
+# the same bytes everywhere).
+_SLICE_FLOOR = int(os.environ.get(
+    "LIBGIDDY_SPARK_SLICE_FLOOR_BYTES", str(4 << 20)))
+_RG_AMP_CAP = int(os.environ.get("LIBGIDDY_SPARK_RG_AMP_CAP", "8"))
+
+
 def _source_files(path: str) -> list[dict]:
     return [{"path": p, "bytes": s} for p, s in list_parquet_files(path)]
 
@@ -267,15 +278,20 @@ def encode_files(
         # salt fan-out from parquet footers: zero scans, zero Spark jobs
         stats = footer_byte_stats(source_path, chunk_files, list(fat_columns))
         total_b = max(sum(stats.values()), 1)
-        # 256 KiB slice floor: a tiny table must not be confettied into
-        # min_slices near-empty tasks — per-task overhead (~0.15 s)
-        # would dwarf its encode. Explicitly smaller target_salt_bytes
-        # still wins (the min), so tests that force fine slicing keep it.
+        # slice floor: a tiny table must not be confettied into
+        # min_slices near-empty tasks — per-task overhead (worker
+        # roundtrip, parquet open, output commit: ~10-150 ms) would
+        # dwarf its encode (a 4 MB slice encodes in ~30 ms, so slices
+        # below that are >50% overhead; measured on the sf0.1 events
+        # table, 32 near-empty tasks cost ~0.5 s of pure task churn).
+        # Explicitly smaller target_salt_bytes still wins (the min),
+        # so tests that force fine slicing keep it.
         eff_target = min(
-            target_salt_bytes, max(total_b // min_slices, 256 << 10)
+            target_salt_bytes, max(total_b // min_slices, _SLICE_FLOOR)
         )
         factors = salt_factors(stats, target_bytes=eff_target)
         nslices = max(sum(factors.values()), 1)
+        fanout: dict[int, int] = {}  # actual per-part task count
         _mark("footer_stats")
         if exchange == "direct":
             # ZERO-row-shuffle path: a salt slice = a contiguous run of
@@ -295,6 +311,14 @@ def encode_files(
                 if nrg == 0:
                     continue
                 want = max(1, int(factors.get(int(p), 1)))
+                if nrg < want <= 2 * nrg:
+                    # snap to whole row groups: a row-range slice must
+                    # DECODE every covering row group and keep only its
+                    # span, so fanning a 2-row-group file into 3 slices
+                    # reads ~1.5x the bytes for no extra parallelism
+                    # worth the amplification — at <=2x the rg count,
+                    # one task per row group is strictly cheaper
+                    want = nrg
                 if nrg >= want:
                     sizes = [
                         md.row_group(i).total_byte_size for i in range(nrg)
@@ -304,6 +328,17 @@ def encode_files(
                     ):
                         tasks.append((int(p), s, alo, ahi, -1, -1, path))
                 else:
+                    # row-range fallback (file has fewer row groups than
+                    # its wanted fan-out): every slice re-decodes its
+                    # covering row group, so fan-out here multiplies the
+                    # READ work by ~want/nrg. Cap the amplification —
+                    # beyond it the redundant decode outweighs the extra
+                    # encode parallelism (measured encode/read cost
+                    # ratio is ~2-4x on the bench tables). A truly
+                    # monstrous single-row-group file still gets
+                    # _RG_AMP_CAP-way parallelism; writers should emit
+                    # many row groups (Iceberg defaults do).
+                    want = min(want, max(_RG_AMP_CAP, 2 * nrg))
                     rg_rows = [md.row_group(i).num_rows for i in range(nrg)]
                     offs = [0]
                     for r in rg_rows:
@@ -325,6 +360,8 @@ def encode_files(
                             (int(p), s, glo, ghi,
                              rlo - offs[glo], rhi - offs[glo], path)
                         )
+            for t in tasks:
+                fanout[t[0]] = fanout.get(t[0], 0) + 1
             if tasks:
                 from .blocks import PLAN_DDL, make_direct_encoder, make_plan_sampler
 
@@ -393,9 +430,7 @@ def encode_files(
                     "part_id int, salt int, rg_lo int, rg_hi int, "
                     "row_lo long, row_hi long, path string",
                 )
-                blocks = tdf.mapInArrow(direct_fn, schema=BLOCKS_DDL)
-            else:  # every file in the chunk is empty
-                blocks = spark.createDataFrame([], BLOCKS_DDL)
+            # every file empty -> tasks == [], handled at the write step
         else:
             sub = load_part_files(spark, source_path, chunk_files)
             if columns:
@@ -413,39 +448,76 @@ def encode_files(
         if os.path.exists(final):  # crashed between rename and manifest append
             shutil.rmtree(final)
         t0 = time.time()
-        # payloads are already codec-compressed; parquet-level snappy on
-        # top costs CPU both directions for ~no size win — and parquet's
-        # dictionary encoding must be OFF: building dictionary pages over
-        # MB-sized unique payload blobs costs ~13x the write time for
-        # zero size win (measured 12.7 s -> 0.9 s on 790 MB of blocks)
-        (blocks.write.mode("overwrite")
-         .option("compression", "none")
-         .option("parquet.enable.dictionary", "false")
-         # 32 MB row groups: the streaming decoder's peak memory is one
-         # row group + one logical group, so finer row groups keep
-         # decode tasks inside the warm allocator arena (default 128 MB
-         # quadruples that for zero read-side benefit — payloads are
-         # opaque blobs, no intra-row-group stats matter)
-         .option("parquet.block.size", str(32 * 1024 * 1024))
-         .parquet(tmp))
+        mdf = None
+        if exchange == "direct":
+            # each TASK writes its own block parquet file with pyarrow
+            # and returns only per-(part, column) metadata rows: the
+            # encoded payloads never cross the Arrow->JVM boundary and
+            # the JVM parquet writer is skipped entirely (measured
+            # ~0.3 s of a 0.9 s webtext encode job; guide §4.1 — pass
+            # only the bytes the other side needs). Commit protocol:
+            # attempt-unique file names, the driver keeps exactly the
+            # returned file set (stray failed-attempt files are removed
+            # here), records it in a _FILES marker that decode trusts,
+            # then atomically renames the chunk dir — the same
+            # write-unique/commit-by-list pattern as Spark's own output
+            # protocol, with the manifest line as the commit point.
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            meta_rows: list[dict] = []
+            if tasks:
+                from .blocks import TASK_META_DDL, make_task_writer
+
+                meta_rows = [r.asDict() for r in tdf.mapInArrow(
+                    make_task_writer(direct_fn, tmp), schema=TASK_META_DDL
+                ).collect()]
+            committed = {r["file"] for r in meta_rows}
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet") and f not in committed:
+                    os.remove(os.path.join(tmp, f))
+            with open(os.path.join(tmp, "_FILES"), "w") as f:
+                f.write("\n".join(sorted(committed)))
+            mdf = _merge_task_meta(meta_rows)
+        else:
+            # payloads are already codec-compressed; parquet-level
+            # snappy on top costs CPU both directions for ~no size win
+            # — and parquet's dictionary encoding must be OFF: building
+            # dictionary pages over MB-sized unique payload blobs costs
+            # ~13x the write time for zero size win (measured 12.7 s ->
+            # 0.9 s on 790 MB of blocks)
+            (blocks.write.mode("overwrite")
+             .option("compression", "none")
+             .option("parquet.enable.dictionary", "false")
+             # 32 MB row groups: the streaming decoder's peak memory is
+             # one row group + one logical group, so finer row groups
+             # keep decode tasks inside the warm allocator arena
+             # (default 128 MB quadruples that for zero read-side
+             # benefit — payloads are opaque blobs, no intra-row-group
+             # stats matter)
+             .option("parquet.block.size", str(32 * 1024 * 1024))
+             .parquet(tmp))
         with open(os.path.join(tmp, "_PARTS"), "w") as f:
             f.write(" ".join(str(int(p)) for p in chunk))
         os.rename(tmp, final)  # atomic commit of the chunk's data
         _mark("write_job")
-        # per-part metrics from the written files' METADATA columns
-        # (payload never read). Driver-side threaded pyarrow read — a
-        # chunk holds O(cores) task files, so this replaces a whole
-        # second Spark job (scan + shuffle + collect, ~0.5-1 s fixed
-        # cost per chunk; VERDICT r3 #8) with milliseconds of footer
-        # work. Chunks beyond the file-count guard fall back to the
-        # distributed aggregation.
-        mdf = _chunk_metrics_rows(spark, final)
+        if mdf is None:
+            # per-part metrics from the written files' METADATA columns
+            # (payload never read). Driver-side threaded pyarrow read —
+            # a chunk holds O(cores) task files, so this replaces a
+            # whole second Spark job (scan + shuffle + collect,
+            # ~0.5-1 s fixed cost per chunk; VERDICT r3 #8) with
+            # milliseconds of footer work. (The direct path returns the
+            # same rows through the encode job itself — zero extra
+            # reads.) Chunks beyond the file-count guard fall back to
+            # the distributed aggregation.
+            mdf = _chunk_metrics_rows(spark, final)
         _mark("metrics")
         per_part: dict[int, dict] = {
             int(p): {
                 "part_id": int(p),
                 "chunk_dir": os.path.basename(final),
-                "salts": int(factors.get(int(p), 1)),
+                "salts": int(fanout.get(int(p))
+                             or factors.get(int(p), 1)),
                 "input_bytes_est": int(stats.get(int(p), 0)),
                 "encode_secs": round(time.time() - t0, 3),
                 "columns": {},
@@ -1069,6 +1141,25 @@ def _committed_block_files(
                     "which was removed (vacuumed/expired)"
                 )
             continue  # chunk pruned by a later resume sweep
+        marker = os.path.join(full, "_FILES")
+        if os.path.exists(marker):
+            # chunk committed by the task-side writer: the marker IS
+            # the committed file set (write-unique/commit-by-list), so
+            # a zombie task attempt's leftover file can never be read.
+            # A listed-but-missing file is corruption — fail loudly,
+            # silence would be silent row loss.
+            with open(marker) as fh:
+                names = [x.strip() for x in fh.read().splitlines()
+                         if x.strip()]
+            for f in names:
+                p = os.path.join(full, f)
+                if not os.path.isfile(p):
+                    raise ValueError(
+                        f"chunk dir {d!r} commit list names {f!r}, "
+                        "which is missing on disk (partial vacuum or "
+                        "external deletion?)")
+                files.append(p)
+            continue
         for root, dirs, fs in os.walk(full):
             dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             for f in fs:
@@ -1081,6 +1172,45 @@ _METRIC_COLS = [
     "part_id", "column", "codec", "n_values", "raw_bytes", "enc_bytes",
     "codec_params", "key_lo", "key_hi", "key_lo_s", "key_hi_s",
 ]
+
+
+def _merge_task_meta(meta_rows: list[dict]) -> list[dict]:
+    """Merge the encode tasks' per-(file, part, column) metadata rows
+    (blocks.TASK_META_DDL) into one row per (part, column) — the same
+    shape _chunk_metrics_rows derives from written footers, computed
+    from the job's own return value instead of a re-read."""
+    agg: dict[tuple[int, str], dict] = {}
+    for r in meta_rows:
+        key = (int(r["part_id"]), r["column"])
+        a = agg.get(key)
+        if a is None:
+            agg[key] = a = {
+                "part_id": int(r["part_id"]), "column": r["column"],
+                "codec": r["codec"], "codec_params": "{}",
+                "n_values": 0, "raw_bytes": 0, "enc_bytes": 0,
+                "n_blocks": 0, "key_lo": None, "key_hi": None,
+                "key_lo_s": None, "key_hi_s": None,
+                "n_unzoned": 0, "n_unzoned_s": 0,
+            }
+        if a["codec_params"] == "{}" and r["codec_params"] not in ("", "{}"):
+            a["codec_params"] = r["codec_params"]
+        a["n_values"] += int(r["n_values"])
+        a["raw_bytes"] += int(r["raw_bytes"])
+        a["enc_bytes"] += int(r["enc_bytes"])
+        a["n_blocks"] += int(r["n_blocks"])
+        a["n_unzoned"] += int(r["n_unzoned"])
+        a["n_unzoned_s"] += int(r["n_unzoned_s"])
+        if r["key_lo"] is not None:
+            a["key_lo"] = (int(r["key_lo"]) if a["key_lo"] is None
+                           else min(a["key_lo"], int(r["key_lo"])))
+            a["key_hi"] = (int(r["key_hi"]) if a["key_hi"] is None
+                           else max(a["key_hi"], int(r["key_hi"])))
+        if r["key_lo_s"] is not None:
+            a["key_lo_s"] = (r["key_lo_s"] if a["key_lo_s"] is None
+                             else min(a["key_lo_s"], r["key_lo_s"]))
+            a["key_hi_s"] = (r["key_hi_s"] if a["key_hi_s"] is None
+                             else max(a["key_hi_s"], r["key_hi_s"]))
+    return [agg[k] for k in sorted(agg)]
 
 
 def _chunk_metrics_rows(spark: SparkSession, final: str) -> list[dict]:
