@@ -186,7 +186,16 @@ def encode_group(
                 codec, stats, artifacts = select_codec(arr, col_name)
             fsst_table: SymbolTable | None = artifacts.get("fsst_table")
             if codec == "fsst" and fsst_table is None:
+                # train on a bounded HEAD sample, not the whole column:
+                # training is O(bytes) and the auto-select path already
+                # uses a trial-sample table (selector) / 16K-row sample
+                # (plan_one_file) — a forced-fsst encode of a fat
+                # column was the one path still paying a full-column
+                # training per group. FSST's escape byte keeps any
+                # input encodable under a sampled table.
                 dense = arr.drop_null() if arr.null_count else arr
+                if len(dense) > 16384:
+                    dense = dense.slice(0, 16384)
                 fsst_table = fsst_mod.train(strcol_of(dense).data)
             if selector_cache is not None:
                 # the manifest aggregates codec_params with first():

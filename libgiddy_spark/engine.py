@@ -900,8 +900,18 @@ def remove_orphan_files(out_dir: str, grace_s: float = 3600.0) -> dict:
     now = time.time()
 
     def _idle(path: str) -> bool:
+        # judge idleness by the NEWEST mtime in the whole tree, not the
+        # top dir's: a file written continuously inside an old dir keeps
+        # the dir mtime stale, and sweeping it mid-write would race the
+        # writer (ADVICE r5). Missing entries (concurrent delete) count
+        # as active — skip, never sweep on uncertainty.
         try:
-            return now - os.path.getmtime(path) >= grace_s
+            newest = os.path.getmtime(path)
+            for root, _dirs, fs in os.walk(path):
+                for f in fs:
+                    newest = max(newest,
+                                 os.path.getmtime(os.path.join(root, f)))
+            return now - newest >= grace_s
         except OSError:
             return False
 

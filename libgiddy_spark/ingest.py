@@ -15,6 +15,7 @@ registry, every downstream feature applies unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -22,6 +23,24 @@ from pyspark.sql import SparkSession
 __all__ = ["default_staging_dir", "ingest_snapshot", "stage_text_source"]
 
 _FORMATS = ("csv", "jsonl")
+
+_FPR_NAME = "_SOURCE_FINGERPRINT"
+
+
+def _source_fingerprint(source_path: str) -> list[list]:
+    """Deterministic (relpath, size, mtime_ns) listing of the text
+    source — cheap metadata only, no data read."""
+    out: list[list] = []
+    if os.path.isfile(source_path):
+        st = os.stat(source_path)
+        return [[os.path.basename(source_path), st.st_size, st.st_mtime_ns]]
+    for root, _dirs, fs in os.walk(source_path):
+        for f in sorted(fs):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out.append([os.path.relpath(p, source_path),
+                        st.st_size, st.st_mtime_ns])
+    return sorted(out)
 
 
 def default_staging_dir(out_dir: str, source_path: str) -> str:
@@ -63,7 +82,13 @@ def stage_text_source(
         df = spark.read.schema(schema_ddl).json(source_path)
     if partitions is not None:
         df = df.coalesce(int(partitions))
+    fpr = _source_fingerprint(source_path)  # BEFORE the read job runs
     df.write.mode("error").parquet(staging_dir)
+    # record what was staged so a re-run can detect a changed source
+    # (text sources have no snapshot identity of their own; parquet
+    # encodes don't need this — the source IS the data)
+    with open(os.path.join(staging_dir, _FPR_NAME), "w") as f:
+        json.dump(fpr, f)
     return staging_dir
 
 
@@ -93,6 +118,22 @@ def ingest_snapshot(
             f"staging dir {staging_dir!r} exists without a _SUCCESS "
             "marker (a crashed staging write) — remove it and re-run; "
             "encoding it would silently commit partial rows")
+    if state == "complete":
+        # refuse to silently encode STALE staging: if the text source
+        # changed since it was staged (fingerprint mismatch), a re-run
+        # would commit old rows with no warning (ADVICE r5). Pre-
+        # fingerprint staging dirs (no marker file) keep the old
+        # trusting behavior.
+        fp = os.path.join(staging_dir, _FPR_NAME)
+        if os.path.exists(fp):
+            with open(fp) as f:
+                staged = json.load(f)
+            if staged != _source_fingerprint(source_path):
+                raise ValueError(
+                    f"staging dir {staging_dir!r} was staged from a "
+                    "different version of the source (file list/size/"
+                    "mtime changed) — remove the staging dir to re-"
+                    "stage, or pass the intended staging_dir")
     if state == "absent":
         stage_text_source(spark, source_path, fmt, schema_ddl,
                           staging_dir, partitions, csv_header)

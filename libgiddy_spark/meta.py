@@ -147,6 +147,12 @@ def file_rows(out_dir: str, as_of: str | None = None) -> list[tuple]:
         if k == "chunk" and e.get("chunk_dir"):
             part_rows = e.get("part_rows") or {}
             for pid in e.get("parts", ()):
+                # healed + regular summary lines can both name the same
+                # (chunk_dir, part): first one wins, duplicates would
+                # double-count rows (same set semantics as
+                # _committed_block_files / _evolution_null_parts)
+                if (e["chunk_dir"], int(pid)) in seen:
+                    continue
                 seen.add((e["chunk_dir"], int(pid)))
                 by_dir.setdefault(e["chunk_dir"], []).append([
                     e.get("snapshot_id"),

@@ -64,21 +64,37 @@ def asof_join(
     right_cols: Sequence[str] = ("event_id",),
     prefix: str = "prev_",
     tolerance_us: int | None = None,
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """As-of LEFT join: every ``left`` row, plus ``right_cols`` from the
     most recent ``right`` row with ``right.ts <= left.ts`` and equal
-    ``by`` key (nulls when no such row, or when it is older than
-    ``tolerance_us``).
+    NON-NULL ``by`` key (nulls when the key is null, no such row
+    exists, or it is older than ``tolerance_us``). Null keys never
+    match — SQL ASOF/equi-join semantics (the per-key window would
+    otherwise group null keys together and match them to each other).
 
     Determinism: when several right rows share an exact (key, ts), the
     lexicographically greatest ``right_cols`` tuple wins (a group-by
     max — mirror it in any oracle).
 
+    ``bucket_us`` — HOT-KEY decomposition (guide §2.5: a window
+    partitioned only by key serializes one key's entire history into
+    one task; bot-traffic keys holding 10^6+ rows straggle the stage).
+    When set, rows are windowed within (key, floor(ts/bucket_us)) —
+    fully parallel across buckets — and the last right row of each
+    earlier bucket is carried across the boundary via a per-(key,
+    bucket) summary frame (one row per bucket, tiny) joined back on
+    the same (key, bucket) partitioning the window just established,
+    so the heavy frame is exchanged ONCE either way. Identical output
+    to the unbucketed path; pick bucket_us so a hot key's rows spread
+    over ~100-10000 buckets.
+
     Output = all ``left`` columns + ``{prefix}{c}`` for each right col
     + ``{prefix}ts_us`` (epoch µs of the matched right row, null when
     unmatched).
     """
-    reserved = {"_side", "_r", "_rf", "_m", "_pay"}
+    reserved = {"_side", "_r", "_rf", "_m", "_pay",
+                "_us", "_bkt", "_rf0", "_rb", "_cr"}
     bad = reserved & set(left.columns)
     if bad:
         raise ValueError(f"left columns collide with asof_join "
@@ -99,19 +115,58 @@ def asof_join(
     lhs = left.withColumn("_side", F.lit(1))
     u = rpay.unionByName(lhs, allowMissingColumns=True)
 
-    # Right rows sort BEFORE left rows at equal ts, so ties satisfy
-    # the <= contract; rowsBetween makes last() a running value.
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+    if bucket_us is None:
+        # Right rows sort BEFORE left rows at equal ts, so ties satisfy
+        # the <= contract; rowsBetween makes last() a running value.
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(ts).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+    else:
+        b = int(bucket_us)
+        ts_u = dict(u.dtypes)[ts]
+        u = u.withColumn("_us", _as_micros(F.col(ts), ts_u)) \
+             .withColumn("_bkt", F.expr(f"_us div {b}"))
+        # intra-bucket running last: same semantics as the single
+        # window, parallel across (key, bucket)
+        wb = (
+            Window.partitionBy(by, "_bkt")
+            .orderBy(F.col(ts).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        intra = u.withColumn("_rf0", F.last("_r", ignorenulls=True).over(wb))
+        # per-(key, bucket) summary: the bucket's LAST right row (max
+        # of the (_rts_us, payload) struct = latest ts, max payload on
+        # ties — the same winner the running last picks); null for
+        # buckets holding only left rows so the carry skips them
+        summary = u.groupBy(by, "_bkt").agg(
+            F.max(F.when(F.col("_side") == 0, F.col("_r"))).alias("_rb")
+        )
+        wc = (
+            Window.partitionBy(by)
+            .orderBy(F.col("_bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = summary.withColumn(
+            "_cr", F.last("_rb", ignorenulls=True).over(wc)
+        ).select(by, "_bkt", "_cr")
+        # join on the (key, bucket) partitioning the window installed:
+        # the heavy frame reuses its exchange, only the per-bucket
+        # summary frame (one row per key x bucket) is re-shuffled
+        filled = (
+            intra.join(carry, [by, "_bkt"], "left")
+            .withColumn("_rf", F.coalesce("_rf0", "_cr"))
+        )
 
     match = F.col("_rf")
     if tolerance_us is not None:
         age = _as_micros(F.col(ts), ts_l) - F.col("_rf._rts_us")
         match = F.when(age <= F.lit(int(tolerance_us)), F.col("_rf"))
+    # null keys never match (SQL ASOF/equi-join semantics); without
+    # this the window groups nulls together and matches them
+    match = F.when(F.col(by).isNotNull(), match)
 
     out = (
         filled.where(F.col("_side") == 1)

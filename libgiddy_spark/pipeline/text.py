@@ -251,9 +251,16 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
     keeper = the line's lexicographic-minimum (doc, position) struct,
     so the hot-line aggregation combines map-side (a million-document
     boilerplate line costs one partial per task, not a mega-group);
-    the join back is line-keyed, one shuffle each side, no explosion
-    (keeper is one row per distinct line). Docs whose every line was
-    seen before collapse to the empty string — the caller filters.
+    there is NO join back at all: the keeper aggregate's value — the
+    minimal (doc, position) — IS the surviving row, so the kept set is
+    a pure projection of the (one row per distinct line) aggregate.
+    The previous formulation joined the exploded lines against the
+    keeper by line content, which re-shuffled every exploded line AND
+    sent a line present in 10^8 docs to one reducer (the r5 skew
+    finding); the rewrite removes that exchange and the join outright
+    — identical output for unique doc keys (the operator's contract).
+    Docs whose every line was seen before collapse to the empty string
+    — the caller filters.
 
     Output: (key, cleaned_text, n_lines, n_kept)."""
     reserved = {"_pos", "_pos1", "_line", "_k"}
@@ -270,7 +277,11 @@ def line_dedup(df: DataFrame, key: str = "doc_id",
     # collide past 10^6 lines); still combines map-side
     tag = F.struct(F.col(key), F.col("_pos1"))
     keeper = ln.groupBy("_line").agg(F.min(tag).alias("_k"))
-    kept = ln.join(keeper, "_line").where(tag == F.col("_k"))
+    kept = keeper.select(
+        F.col("_k").getField(key).alias(key),
+        F.col("_k").getField("_pos1").alias("_pos1"),
+        "_line",
+    )
     reb = kept.groupBy(key).agg(
         F.array_join(
             F.transform(

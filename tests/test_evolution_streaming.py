@@ -150,6 +150,46 @@ def test_streaming_sessions_multibatch_matches_batch_subset(spark, tmp_path):
     assert 0 < got.count() < batch.count()  # some sessions held open
 
 
+def test_streaming_sessions_append_file_sink(spark, tmp_path):
+    """PRODUCTION sink variant: multi-batch drain to a parquet file
+    sink (no driver collect) yields exactly the memory-sink/batch
+    watermark-closed session set."""
+    import time  # noqa: F401  (parity with sibling test imports)
+
+    from libgiddy_spark.pipeline.sessions import sessionize
+    from libgiddy_spark.streaming import streaming_sessions_append
+
+    gap_us = 6 * 3600 * 1_000_000
+    d = str(tmp_path / "sessa_src")
+    os.makedirs(d)
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    parts = ev.orderBy("ts").collect()
+    cut = len(parts) // 3
+    for i, chunk in enumerate([parts[:cut], parts[cut:2*cut], parts[2*cut:]]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"astage{i}")
+        )
+        src = next(p for p in os.listdir(str(tmp_path / f"astage{i}"))
+                   if p.endswith(".parquet"))
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"astage{i}"), src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    got = streaming_sessions_append(
+        spark, d, str(tmp_path / "sessa_out"), gap_us=gap_us,
+        watermark="12 hours", max_files_per_trigger=1)
+    batch = sessionize(ev, gap_us=gap_us)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    wm_us = (int(mx.timestamp() * 1_000_000) // 1000 - 12 * 3600 * 1000) * 1000
+    exp = batch.filter(F.unix_micros(F.col("t_end")) + gap_us < wm_us)
+    cols = ["user_id", "session_seq", "n_events", "t_start", "t_end",
+            "duration_us"]
+    k = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert k(got) == k(exp)
+    assert 0 < got.count() < batch.count()
+
+
 def test_streaming_sessions_state_bounded(spark, tmp_path):
     """A single key's 10^4-event CONTINUOUS session (a crawling bot)
     streamed in staged micro-batches keeps per-key state O(events above

@@ -70,6 +70,24 @@ def test_partial_staging_raises(spark, tmp_path):
         ingest_snapshot(spark, src, "jsonl", DDL, out, key_col="doc_id")
 
 
+def test_ingest_stale_staging_raises(spark, tmp_path):
+    """A 'complete' staging dir whose SOURCE changed since staging must
+    refuse, not silently encode stale rows (ADVICE r5)."""
+    import os
+    import time
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.json(src)
+    out = str(tmp_path / "enc")
+    ingest_snapshot(spark, src, "jsonl", DDL, out, key_col="doc_id")
+    # mutate the source (append one more file) after staging
+    time.sleep(0.01)
+    docs.limit(1).coalesce(1).write.mode("append").json(src)
+    with pytest.raises(ValueError, match="different version"):
+        ingest_snapshot(spark, src, "jsonl", DDL, out, key_col="doc_id")
+
+
 def test_ingest_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         ingest_snapshot(spark, str(tmp_path), "xml", DDL,

@@ -47,6 +47,10 @@ def test_sweeps_only_unreferenced_debris(spark, tmp_path):
         p = os.path.join(blocks, d)
         os.makedirs(p)
         open(os.path.join(p, "junk.parquet"), "w").write("x")
+        # idleness is judged by the NEWEST mtime in the tree (a fresh
+        # file inside an old dir means an active writer): age the
+        # contents too, as real abandoned debris would be
+        _age(os.path.join(p, "junk.parquet"))
         _age(p)
     dd = os.path.join(out, "deletes")
     os.makedirs(os.path.join(dd, "_tmp-delete-00099"))
@@ -77,6 +81,21 @@ def test_grace_window_spares_fresh_files(spark, tmp_path):
     assert remove_orphan_files(out, grace_s=0)["removed"] == [
         "blocks/_tmp_9_9"
     ]
+
+
+def test_stale_dir_with_active_writer_is_spared(spark, tmp_path):
+    """A dir whose TOP-LEVEL mtime is old but which holds a freshly
+    written file (a long-running writer that created the dir hours ago)
+    must not be swept mid-write (ADVICE r5): idleness = newest mtime in
+    the whole tree."""
+    out, _schema = _table(spark, tmp_path)
+    blocks = os.path.join(out, "blocks")
+    p = os.path.join(blocks, "_tmp_7_7")
+    os.makedirs(p)
+    open(os.path.join(p, "inflight.parquet"), "w").write("x")  # fresh
+    _age(p)  # dir LOOKS idle by its own mtime
+    assert remove_orphan_files(out, grace_s=3600)["removed"] == []
+    assert os.path.isdir(p)
 
 
 def test_replaced_dirs_are_not_orphans(spark, tmp_path):

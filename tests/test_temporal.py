@@ -76,6 +76,61 @@ def test_asof_join_single_exchange(frames):
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides
 
 
+def test_asof_join_bucketed_matches_unbucketed(frames):
+    left, right = frames
+    base = asof_join(left, right, ts="ts", by="user_id",
+                     right_cols=("event_id",))
+    for b_us in (60 * US, 1000 * US):
+        bkt = asof_join(left, right, ts="ts", by="user_id",
+                        right_cols=("event_id",), bucket_us=b_us)
+        assert sorted(map(tuple, bkt.collect())) == sorted(
+            map(tuple, base.collect()))
+
+
+def test_asof_join_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, _ts(100 * US)), (2, 10, _ts(100 * US))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(900, None, _ts(50 * US)), (901, 10, _ts(50 * US))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    for b_us in (None, 60 * US):
+        out = asof_join(left, right, ts="ts", by="user_id",
+                        right_cols=("event_id",), bucket_us=b_us)
+        got = {r["event_id"]: r["prev_event_id"] for r in out.collect()}
+        # SQL ASOF semantics: the null-key left row matches nothing
+        assert got == {1: None, 2: 901}
+
+
+def test_asof_join_hot_key_bucketed(spark):
+    """One key holding ~1M rows: the bucketed path partitions its
+    history across (key, bucket) tasks and carries matches over bucket
+    boundaries; results equal a local reference on a sampled check."""
+    n = 1_000_000
+    left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        (F.lit(T0) + F.col("id") * US).alias("ts"),
+    )
+    # one right row every 1000s: left row id matches right floor(id/1000)
+    right = spark.range(n // 1000).select(
+        (F.col("id") * 1000).alias("event_id"),
+        F.lit(7).alias("user_id"),
+        (F.lit(T0) + F.col("id") * 1000 * US).alias("ts"),
+    )
+    out = asof_join(left, right, ts="ts", by="user_id",
+                    right_cols=("event_id",), bucket_us=100 * US)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the heavy window runs per (key, bucket), not per key
+    assert "_bkt" in plan
+    got = {r["event_id"]: r["prev_event_id"]
+           for r in out.where(F.col("event_id") % 99_991 == 0).collect()}
+    assert got == {i: (i // 1000) * 1000
+                   for i in range(0, n, 99_991)}, "carry across buckets"
+
+
 def test_range_join_semantics(spark):
     points = spark.createDataFrame(
         [(i, T0 + i * US) for i in range(0, 100, 10)],
