@@ -218,8 +218,15 @@ def q_roundtrip_pruned_range(spark, sf_dir):
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     encode_snapshot(spark, src, out, key_col="l_orderkey", columns=cols)
     schema = pa.schema([pq.read_schema(src).field(c) for c in cols])
+    # perf (r6): chunk_parts=1 + 256 KiB parts ran 19 sequential
+    # one-part chunk loops, each its own Spark job pair (~17 s of job
+    # churn at sf0.1). One chunk of 1 MiB parts exercises the same
+    # disjoint per-part zone maps (part entries carry key bounds, so
+    # manifest-level part pruning and block-level row-group pruning
+    # both still fire) in a single encode pass; identical rows,
+    # identical oracle.
     rewrite_sorted(spark, out, schema, key_col="l_orderkey",
-                   target_part_bytes=256 << 10, chunk_parts=1)
+                   target_part_bytes=1 << 20)
     dec = decode_blocks(spark, out, schema, key_range=(1000, 3000))
     return dec.filter(
         (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 3000)

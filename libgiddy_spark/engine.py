@@ -1556,10 +1556,17 @@ def _staged_full_rewrite(
     (dec.write.mode("overwrite")
      .option("parquet.block.size", 8 * 1024 * 1024)
      .parquet(src))
+    # the staged files already hold the final row placement (the
+    # clustering repartitionByRange above, or the original part rows
+    # for an unclustered purge), so the re-encode needs no row
+    # exchange: the DIRECT path slices the staged files' row groups
+    # per task and Arrow-sorts within the slice — one shuffle fewer
+    # than re-running the range exchange over data that is already
+    # ranged (guide §2.4)
     summary = encode_files(
         spark, src, list_parquet_files(src), out_dir, key_col,
         chunk_parts=chunk_parts,
-        exchange="range",
+        exchange="direct",
         commit_status="staged",
     )
     staged = [

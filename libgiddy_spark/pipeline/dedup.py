@@ -34,34 +34,64 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     )
 
 
-def _doc_words(df: DataFrame, key: str, text: str) -> DataFrame:
-    """(key, word) pairs, distinct — MinHash/Jaccard operate on the SET."""
+def _word_arrays(df: DataFrame, key: str, text: str) -> DataFrame:
+    """(key, toks) with toks = the doc's DISTINCT word array. The token
+    SET stays a per-row array — no explode, no shuffle; MinHash and
+    Jaccard both compute from it with higher-order functions (§4.1
+    built-ins; the exploded formulation shuffled ~200 rows per doc
+    through every aggregation and join). Null texts (no token set) are
+    dropped, matching the exploded form's semantics."""
     return df.select(
-        F.col(key), F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("w")
-    ).distinct()
+        F.col(key),
+        F.array_distinct(F.split(F.col(text), " ")).alias("toks"),
+    ).where(F.col("toks").isNotNull())
 
 
-def _doc_shingles(df: DataFrame, key: str, text: str, n: int = 5) -> DataFrame:
-    """(key, character-n-gram) pairs, distinct. Character shingles are
-    the word-boundary-free dedup signal (robust to tokenization and to
-    scripts without spaces, e.g. zh). substring() is character-based in
-    both Spark and DuckDB, so the oracle is exact on multibyte text."""
+def _shingle_arrays(df: DataFrame, key: str, text: str, n: int = 5) -> DataFrame:
+    """(key, toks) with toks = the doc's DISTINCT character-n-gram
+    array (same no-explode shape as :func:`_word_arrays`). Character
+    shingles are the word-boundary-free dedup signal (robust to
+    tokenization and to scripts without spaces, e.g. zh). substring()
+    is character-based in both Spark and DuckDB, so the oracle is
+    exact on multibyte text."""
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text}) - {n - 1}, 1)), "
         f"i -> substring({text}, i, {n}))"
     )
     return df.select(
-        F.col(key), F.explode(F.array_distinct(grams)).alias("w")
-    ).distinct()
+        F.col(key), F.array_distinct(grams).alias("toks")
+    ).where(F.col("toks").isNotNull())
 
 
-def _sign_tokens(tokens: DataFrame, key: str, n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash over a (key, w) token-set frame: sig i = min(md5(w||'#i'))."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"mh{i}")
+def _doc_words(df: DataFrame, key: str, text: str) -> DataFrame:
+    """(key, word) pairs, distinct — the exploded view of
+    :func:`_word_arrays` (kept for operators that aggregate per token,
+    e.g. SimHash; set-style consumers use the array form directly)."""
+    return df.select(
+        F.col(key), F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("w")
+    )
+
+
+def _sign_arrays(arr_df: DataFrame, key: str, n_hashes: int = N_HASHES,
+                 with_size: bool = False) -> DataFrame:
+    """MinHash from the per-row token ARRAY: sig i = min over the set
+    of md5(w||'#i'), via array_min(transform(...)) — a narrow per-row
+    projection with ZERO shuffle (the exploded groupBy formulation
+    exchanged the whole token frame once per evaluation; §2.4).
+    ``with_size`` piggybacks the set size (``_n``) so the Jaccard
+    denominator needs no second pass."""
+    def _mh(tag: str):
+        # single-parameter lambda: a two-parameter one would make
+        # transform() bind the second name to the ELEMENT INDEX
+        return lambda x: F.md5(F.concat(x, F.lit(tag)))
+
+    cols = [F.col(key)] + [
+        F.array_min(F.transform(F.col("toks"), _mh(f"#{i}"))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return tokens.groupBy(key).agg(*aggs)
+    if with_size:
+        cols.append(F.size("toks").alias("_n"))
+    return arr_df.select(*cols)
 
 
 def _capped_band_pairs(sig: DataFrame, key: str, max_bucket: int) -> DataFrame:
@@ -87,18 +117,24 @@ def _capped_band_pairs(sig: DataFrame, key: str, max_bucket: int) -> DataFrame:
     )
 
 
-def _jaccard_from_tokens(tokens: DataFrame, cand: DataFrame, key: str) -> DataFrame:
-    """Exact token-set Jaccard (floor-scaled x1000) for candidate pairs."""
-    sizes = tokens.groupBy(key).agg(F.count("*").alias("n"))
-    wa = tokens.withColumnRenamed(key, "ka")
-    wb = tokens.withColumnRenamed(key, "kb")
-    inter = (
-        cand.join(wa, "ka").join(wb, ["kb", "w"])
-        .groupBy("ka", "kb").agg(F.count("*").alias("n_inter"))
-    )
+def _jaccard_from_arrays(arr_df: DataFrame, cand: DataFrame,
+                         key: str) -> DataFrame:
+    """Exact token-set Jaccard (floor-scaled x1000) for candidate
+    pairs, computed as |array_intersect| of the two docs' token
+    ARRAYS. The exploded formulation materialized one row per
+    (pair, token-of-ka) — ~|cand| x avg-set-size rows (measured 141M
+    on the sf0.1 shingle path, 31 s) probing a token hash relation;
+    this shape joins each candidate pair to exactly TWO array rows and
+    intersects in place (~|cand| rows, §2.3 shuffle fewer bytes /
+    §3.3 explode-before-join avoided). Arrays are distinct per doc, so
+    size(array_intersect) is the exact set intersection."""
+    wa = arr_df.select(F.col(key).alias("ka"), F.col("toks").alias("_ta"),
+                       F.size("toks").alias("na"))
+    wb = arr_df.select(F.col(key).alias("kb"), F.col("toks").alias("_tb"),
+                       F.size("toks").alias("nb"))
     return (
-        inter.join(sizes.withColumnRenamed(key, "ka").withColumnRenamed("n", "na"), "ka")
-        .join(sizes.withColumnRenamed(key, "kb").withColumnRenamed("n", "nb"), "kb")
+        cand.join(wa, "ka").join(wb, "kb")
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn("jac_x1000",
                     idiv(1000 * F.col("n_inter"),
                          F.col("na") + F.col("nb") - F.col("n_inter")))
@@ -120,7 +156,7 @@ def minhash_signatures(
     df: DataFrame, key: str = "doc_id", text: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
     """MinHash over the word set: signature i = min(md5(word || '#i'))."""
-    return _sign_tokens(_doc_words(df, key, text), key, n_hashes)
+    return _sign_arrays(_word_arrays(df, key, text), key, n_hashes)
 
 
 def minhash_signatures_ngram(
@@ -129,7 +165,7 @@ def minhash_signatures_ngram(
 ) -> DataFrame:
     """MinHash over the character-n-gram shingle set (the
     tokenization-free variant of :func:`minhash_signatures`)."""
-    return _sign_tokens(_doc_shingles(df, key, text, n), key, n_hashes)
+    return _sign_arrays(_shingle_arrays(df, key, text, n), key, n_hashes)
 
 
 def ngram_jaccard_stats(
@@ -139,9 +175,9 @@ def ngram_jaccard_stats(
     """n-gram Jaccard near-dup detection: shingle MinHash -> LSH bands
     (capped) -> exact shingle-set Jaccard on candidates -> stats row.
     Same machinery as the word-set path, different token source."""
-    tokens = _doc_shingles(df, key, text, n)
-    cand = _capped_band_pairs(_sign_tokens(tokens, key), key, max_bucket)
-    jac = _jaccard_from_tokens(tokens, cand, key)
+    arrs = _shingle_arrays(df, key, text, n)
+    cand = _capped_band_pairs(_sign_arrays(arrs, key), key, max_bucket)
+    jac = _jaccard_from_arrays(arrs, cand, key)
     return _jaccard_stats_row(jac, jaccard_threshold_x1000)
 
 
@@ -150,21 +186,27 @@ def lsh_buckets(
     n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Band the signature: bucket id = md5(concat of the band's rows).
-    Docs sharing any (band, bucket) become near-dup candidates."""
-    out = []
-    for b in range(n_hashes // band_size):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        out.append(
-            sig_df.select(
-                F.col(key),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("bucket"),
-            )
+    Docs sharing any (band, bucket) become near-dup candidates.
+
+    Single-pass shape: one inline/explode of a per-row (band, bucket)
+    array instead of a union of per-band selects — the union form
+    evaluated the whole signature pipeline (explode + distinct + 8 md5
+    aggregates) once PER BAND (guide §2.4: duplicated subtrees;
+    measured 4x the upstream work on the sf0.1 corpus). Same rows,
+    same oracle."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[
+                F.col(f"mh{b * band_size + j}") for j in range(band_size)
+            ])).alias("bucket"),
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionAll(o)
-    return res
+        for b in range(n_hashes // band_size)
+    ]
+    return sig_df.select(
+        F.col(key), F.explode(F.array(*entries)).alias("_bb")
+    ).select(F.col(key), F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(
@@ -180,7 +222,7 @@ def jaccard_on_pairs(
     df: DataFrame, cand: DataFrame, key: str = "doc_id", text: str = "text",
 ) -> DataFrame:
     """Exact word-set Jaccard (floor-scaled x1000) for candidate pairs."""
-    return _jaccard_from_tokens(_doc_words(df, key, text), cand, key)
+    return _jaccard_from_arrays(_word_arrays(df, key, text), cand, key)
 
 
 def dedup_near_pair_stats(
@@ -191,8 +233,9 @@ def dedup_near_pair_stats(
     """LSH candidates -> exact word-set Jaccard verification; returns
     one stats row (candidate pairs, verified near-dups) — the decision
     numbers a dedup pass needs."""
-    cand = lsh_candidate_pairs(df, key, text, max_bucket)
-    jac = jaccard_on_pairs(df, cand, key, text)
+    arrs = _word_arrays(df, key, text)
+    cand = _capped_band_pairs(_sign_arrays(arrs, key), key, max_bucket)
+    jac = _jaccard_from_arrays(arrs, cand, key)
     return _jaccard_stats_row(jac, jaccard_threshold_x1000)
 
 
@@ -241,6 +284,14 @@ def connected_components(
             )
         labels = ids.select("node", F.col("nid").alias("label"))
         back = ids
+    # the edge list is re-joined EVERY round: without this, each
+    # iteration re-evaluated the whole upstream edge pipeline (for
+    # dedup_corpus: tokenize -> MinHash -> LSH -> Jaccard verify) —
+    # measured ~90% of dedup_corpus wall at sf0.1. The verified edge
+    # set is small (near-dup pairs only), so materializing it once is
+    # the standard Spark CC shape (guide §5: cache only what is reused
+    # AND expensive to recompute — this is both).
+    edges = edges.localCheckpoint()
     prev = None
     converged = False
     for _ in range(max_iter):
@@ -297,8 +348,9 @@ def near_dup_edges(
     jaccard_threshold_x1000: int = 700, max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Symmetric verified near-dup edge list (src, dst)."""
-    cand = lsh_candidate_pairs(df, key, text, max_bucket)
-    hits = (jaccard_on_pairs(df, cand, key, text)
+    arrs = _word_arrays(df, key, text)
+    cand = _capped_band_pairs(_sign_arrays(arrs, key), key, max_bucket)
+    hits = (_jaccard_from_arrays(arrs, cand, key)
             .filter(F.col("jac_x1000") >= jaccard_threshold_x1000))
     fwd = hits.select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
     rev = hits.select(F.col("kb").alias("src"), F.col("ka").alias("dst"))
