@@ -206,12 +206,25 @@ def _centroids(qdf: DataFrame, key: str, n_lists: int) -> DataFrame:
 
 
 def _ivf_rank(qdf: DataFrame, cents: DataFrame, key: str) -> DataFrame:
-    """(key, cid, cdot) for every (vector, centroid) pair — a broadcast
-    join (n x n_lists rows, the unavoidable IVF assignment cost), with
-    the integer dot as the affinity. No window: callers reduce with
-    max_by / top-n aggregates, so assignment adds no extra shuffle."""
-    return qdf.crossJoin(F.broadcast(cents)).select(
-        F.col(key), F.col("cid"), _qdot(F.col("q"), F.col("cq")).alias("cdot")
+    """(key, cid, cdot) for every (vector, centroid) pair — the
+    unavoidable IVF assignment cost, as a codegen-friendly
+    explode/broadcast-join/hash-aggregate instead of a per-pair
+    higher-order _qdot: Spark evaluates lambda-based array aggregates
+    interpreted (CodegenFallback), ~1 µs per element, which made the
+    assignment the IVF hot spot (guide §1.2 per-task work; measured
+    2.6 s warm -> ~0.9 s at sf0.1, and the CPU constant is what
+    multiplies at 10^9 vectors). posexplode keeps dim-rows co-located
+    with their parent row, the centroid side is a tiny broadcast, and
+    the (key, cid) partial aggregation collapses map-side — the only
+    exchange is the narrow (key, cid, cdot) frame the caller's
+    max_by/top-n needed anyway. Exact integer sums, order-independent:
+    identical results."""
+    qe = qdf.select(F.col(key), F.posexplode("q").alias("_d", "_v"))
+    ce = cents.select(F.col("cid"), F.posexplode("cq").alias("_d", "_cv"))
+    return (
+        qe.join(F.broadcast(ce), "_d")
+        .groupBy(key, "cid")
+        .agg(F.sum(F.col("_v") * F.col("_cv")).alias("cdot"))
     )
 
 
