@@ -31,18 +31,24 @@ def main() -> None:
     spark = bench.make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     bench.warm_workers(spark, CPUS)
+    reps = int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", "1"))
     qs = entry.queries()
     rows = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        t_build = time.time() - t0
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        t_noop = time.time() - t0
+        best = None
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            t_build = time.time() - t0
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t_noop = time.time() - t0
+            if best is None or t_build + t_noop < sum(best):
+                best = (t_build, t_noop)
+        t_build, t_noop = best
         rows.append((name, t_build, t_noop))
         print(f"{name}: build {t_build:.3f}s noop {t_noop:.3f}s",
               flush=True)

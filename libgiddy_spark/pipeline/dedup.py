@@ -98,21 +98,35 @@ def _capped_band_pairs(sig: DataFrame, key: str, max_bucket: int) -> DataFrame:
     """Signature -> LSH bands -> distinct candidate (ka, kb) pairs from
     buckets holding <= max_bucket docs (the degenerate-bucket guard:
     one boilerplate bucket with 10^6 docs would otherwise re-create the
-    quadratic join LSH exists to avoid). One window + one self-join,
-    both keyed on (band, bucket)."""
+    quadratic join LSH exists to avoid).
+
+    Pair generation is a per-bucket combination EXPLODE over the
+    bucket's (capped, sorted) member list, not a self-join: the
+    self-join evaluated the whole signature subtree once per side
+    (§2.4 duplicated subtrees — for dedup_corpus that subtree is the
+    full tokenize+md5 pipeline), and its output is identical — every
+    a<b pair within a surviving bucket. The window count bounds
+    memory BEFORE the member lists are collected (a dropped degenerate
+    bucket never materializes its list), and window + both aggregates
+    share one (band, bucket) exchange."""
     bands = lsh_buckets(sig, key)
     w = Window.partitionBy("band", "bucket")
     ok = (
         bands.withColumn("bsz", F.count("*").over(w))
-        .filter(F.col("bsz") <= max_bucket)
+        .filter((F.col("bsz") <= max_bucket) & (F.col("bsz") >= 2))
         .drop("bsz")
     )
-    a, b = ok.alias("a"), ok.alias("b")
+    members = ok.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(key))).alias("_ks")
+    )
+    pairs = F.expr(
+        "flatten(transform(_ks, (a, i) -> "
+        "transform(slice(_ks, i + 2, size(_ks)), "
+        "b -> named_struct('ka', a, 'kb', b))))"
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .select(F.col(f"a.{key}").alias("ka"), F.col(f"b.{key}").alias("kb"))
+        members.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.ka").alias("ka"), F.col("_p.kb").alias("kb"))
         .distinct()
     )
 
