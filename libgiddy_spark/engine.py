@@ -337,7 +337,12 @@ def encode_files(
                     # ratio is ~2-4x on the bench tables). A truly
                     # monstrous single-row-group file still gets
                     # _RG_AMP_CAP-way parallelism; writers should emit
-                    # many row groups (Iceberg defaults do).
+                    # many row groups (Iceberg defaults do). A
+                    # size-growing cap (16 slices on a 470 MB
+                    # single-rg file) was measured: it doubles DECODE
+                    # throughput (more block files = more decode
+                    # tasks) but halves encode throughput (amp), net
+                    # worse end-to-end — rejected.
                     want = min(want, max(_RG_AMP_CAP, 2 * nrg))
                     rg_rows = [md.row_group(i).num_rows for i in range(nrg)]
                     offs = [0]
