@@ -4,6 +4,8 @@ row-group slicing, plan shape, resume."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
@@ -129,3 +131,36 @@ def test_direct_resume_skips_done_parts(spark, tmp_path):
     assert s2["encoded_parts"] == 0 and s2["skipped_done"] == 4
     dec = decode_blocks(spark, out, pq.read_schema(f"{SF}/documents.parquet"))
     assert dec.count() == docs.count()
+
+
+def test_direct_commit_by_list(spark, tmp_path):
+    """r6 task-side writes: the chunk dir's _FILES marker IS the
+    committed file set — a stray parquet file planted in the dir (a
+    zombie task attempt's leftover) is invisible to decode, and a
+    listed-but-missing file fails loudly instead of silently losing
+    rows."""
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "cbl")
+    encode_snapshot(spark, src, out, key_col="doc_id", exchange="direct")
+    schema = pq.read_schema(src)
+    n = decode_blocks(spark, out, schema).count()
+    blocks = os.path.join(out, "blocks")
+    chunk = next(d for d in os.listdir(blocks) if d.startswith("chunk-"))
+    cdir = os.path.join(blocks, chunk)
+    listed = sorted(
+        x.strip()
+        for x in open(os.path.join(cdir, "_FILES")).read().splitlines()
+        if x.strip()
+    )
+    on_disk = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+    assert listed == on_disk  # driver committed exactly the task set
+    # 1) stray file (duplicate payload!) is ignored by decode
+    import shutil as _sh
+
+    _sh.copy(os.path.join(cdir, listed[0]),
+             os.path.join(cdir, "task-deadbeef-zombie.parquet"))
+    assert decode_blocks(spark, out, schema).count() == n
+    # 2) a listed file missing on disk = corruption -> loud error
+    os.remove(os.path.join(cdir, listed[0]))
+    with pytest.raises(ValueError, match="missing on disk"):
+        decode_blocks(spark, out, schema).count()
