@@ -126,6 +126,8 @@ def asof_join(
         filled = u.withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
     else:
         b = int(bucket_us)
+        if b <= 0:
+            raise ValueError(f"bucket_us must be positive, got {bucket_us}")
         ts_u = dict(u.dtypes)[ts]
         u = u.withColumn("_us", _as_micros(F.col(ts), ts_u)) \
              .withColumn("_bkt", F.expr(f"_us div {b}"))
