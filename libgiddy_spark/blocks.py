@@ -445,15 +445,42 @@ def make_direct_encoder(
                 if not rgs:
                     continue
                 pf = pq.ParquetFile(row["path"])
-                tbl = pf.read_row_groups(
-                    rgs, columns=columns, use_threads=False
-                )
                 row_lo = row.get("row_lo", -1)
                 if row_lo is not None and row_lo >= 0:
                     # row-range fallback slice (file had fewer row
-                    # groups than its fan-out): keep only this task's
-                    # rows of the covering row groups
-                    tbl = tbl.slice(row_lo, row["row_hi"] - row_lo)
+                    # groups than its fan-out): stream batches and STOP
+                    # at the task's upper bound instead of materializing
+                    # the whole covering span — the parquet streaming
+                    # reader decodes pages incrementally, so task i of k
+                    # only decodes rows [0, hi_i), cutting the total
+                    # redundant decode across a k-way fan-out from k x
+                    # to (k+1)/2 x (leading rows before row_lo must
+                    # still be decoded — page skipping can't jump into
+                    # the middle of a column chunk)
+                    row_hi = int(row["row_hi"])
+                    kept: list[pa.RecordBatch] = []
+                    start = seen = 0
+                    for b in pf.iter_batches(
+                        batch_size=65536, row_groups=rgs,
+                        columns=columns, use_threads=False,
+                    ):
+                        b_lo, seen = seen, seen + b.num_rows
+                        if seen <= row_lo:
+                            continue
+                        if not kept:
+                            start = b_lo
+                        kept.append(b)
+                        if seen >= row_hi:
+                            break
+                    # task build guarantees row_lo < row_hi within the
+                    # span, so at least one batch is always kept
+                    tbl = pa.Table.from_batches(kept).slice(
+                        row_lo - start, row_hi - row_lo
+                    )
+                else:
+                    tbl = pf.read_row_groups(
+                        rgs, columns=columns, use_threads=False
+                    )
                 cache = None
                 part_plan = plan.get(int(row["part_id"])) if plan else None
                 if part_plan:
