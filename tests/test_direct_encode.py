@@ -97,6 +97,45 @@ def test_direct_row_slice_fallback_single_row_group(spark, tmp_path):
     assert rep["ok"], rep
 
 
+def test_row_range_stream_slice_exact(tmp_path):
+    """The row-range fallback's streaming read (early stop at the
+    task's upper bound) must yield exactly rows [row_lo, row_hi) of
+    the covering span, for ranges NOT aligned to reader batch or
+    row-group boundaries — the offset math slices the first kept
+    batch, not the file head."""
+    import pyarrow as pa
+
+    from libgiddy_spark.blocks import make_direct_encoder, plan_one_file
+
+    n = 1000
+    src = str(tmp_path / "t.parquet")
+    tbl = pa.table({"k": pa.array(range(n), pa.int64())})
+    pq.write_table(tbl, src, row_group_size=300)  # 4 row groups
+    pf = pq.ParquetFile(src)
+    plan = {0: {c: (codec, params, ft)
+                for c, codec, params, ft in plan_one_file(src, ["k"])}}
+    enc = make_direct_encoder(["k"], sort_key="k", plan=plan)
+    # spans chosen to start/end mid-row-group (rg bounds: 300/600/900)
+    for rg_lo, rg_hi, rlo, rhi in [(0, 4, 123, 877), (1, 3, 50, 599),
+                                   (0, 1, 0, 300), (3, 4, 1, 99)]:
+        base = sum(pf.metadata.row_group(g).num_rows for g in range(rg_lo))
+        task = pa.RecordBatch.from_pydict({
+            "part_id": [0], "salt": [0], "rg_lo": [rg_lo],
+            "rg_hi": [rg_hi], "row_lo": [rlo], "row_hi": [rhi],
+            "path": [src]})
+        outs = list(enc(iter([task])))
+        nv = sum(v for b in outs
+                 for c, v in zip(b.column(3).to_pylist(),
+                                 b.column(6).to_pylist()) if c == "k")
+        assert nv == rhi - rlo, (rg_lo, rg_hi, rlo, rhi, nv)
+        # zone map pins the exact rows, not just the count
+        klo = min(v for b in outs for v in b.column(11).to_pylist()
+                  if v is not None)
+        khi = max(v for b in outs for v in b.column(12).to_pylist()
+                  if v is not None)
+        assert (klo, khi) == (base + rlo, base + rhi - 1)
+
+
 def test_direct_plan_moves_no_source_rows(spark):
     """The direct encode plan's only exchange is the round-robin of the
     tiny task list — no scan of the source table feeds an exchange
